@@ -1,0 +1,137 @@
+"""xxHash32/64 tests: known vectors, streaming vs one-shot, checksum quirk.
+
+Models the reference's XXHash32Test/XXHash64Test strategy
+(``src/test/net/jpountz/xxhash/XXHash32Test.java:77-191``): differential
+comparison across implementations and streaming chunkings.
+"""
+
+import random
+
+import pytest
+
+from lz4_tpu.core.xxhash_ref import (
+    StreamingXXH32, StreamingXXH64, as_s32, as_s64, xxh32, xxh64,
+)
+from lz4_tpu.api.factory import XXHashFactory
+
+# Canonical test vectors for XXH32/XXH64 (seed 0 and seed'd).
+KNOWN_32 = [
+    (b"", 0, 0x02CC5D05),
+    (b"a", 0, 0x550D7456),
+    (b"abc", 0, 0x32D153FF),
+    (b"message digest", 0, 0x7C948494),
+    (b"abcdefghijklmnopqrstuvwxyz", 0, 0x63A14D5F),
+    (b"", 1, 0x0B2CB792),
+]
+KNOWN_64 = [
+    (b"", 0, 0xEF46DB3751D8E999),
+    (b"a", 0, 0xD24EC4F1A98C6E5B),
+    (b"abc", 0, 0x44BC2CF5AD770999),
+]
+
+
+@pytest.mark.parametrize("data,seed,expected", KNOWN_32)
+def test_xxh32_known_vectors(data, seed, expected):
+    assert xxh32(data, 0, len(data), seed) == expected
+
+
+@pytest.mark.parametrize("data,seed,expected", KNOWN_64)
+def test_xxh64_known_vectors(data, seed, expected):
+    assert xxh64(data, 0, len(data), seed) == expected
+
+
+@pytest.mark.parametrize("length", [0, 1, 3, 4, 15, 16, 17, 31, 32, 33, 100, 1000, 4096])
+@pytest.mark.parametrize("seed", [0, 1, -1 & 0xFFFFFFFF, 0x9747B28C])
+def test_streaming_matches_oneshot_32(length, seed, rng):
+    data = bytes(rng.randrange(256) for _ in range(length))
+    expect = xxh32(data, 0, length, seed)
+    s = StreamingXXH32(seed)
+    off = 0
+    while off < length:
+        chunk = rng.randrange(1, 20)
+        chunk = min(chunk, length - off)
+        s.update(data, off, chunk)
+        off += chunk
+    assert s.get_value() == expect
+    # non-destructive get_value
+    assert s.get_value() == expect
+
+
+@pytest.mark.parametrize("length", [0, 1, 7, 8, 31, 32, 33, 63, 64, 65, 1000])
+def test_streaming_matches_oneshot_64(length, rng):
+    seed = 0x0102030405060708
+    data = bytes(rng.randrange(256) for _ in range(length))
+    expect = xxh64(data, 0, length, seed)
+    s = StreamingXXH64(seed)
+    off = 0
+    while off < length:
+        chunk = min(rng.randrange(1, 40), length - off)
+        s.update(data, off, chunk)
+        off += chunk
+    assert s.get_value() == expect
+
+
+def test_streaming_reset(rng):
+    data = bytes(rng.randrange(256) for _ in range(100))
+    s = StreamingXXH32(42)
+    s.update(data)
+    v1 = s.get_value()
+    s.reset()
+    s.update(data)
+    assert s.get_value() == v1
+
+
+def test_checksum_view_masks_to_28_bits():
+    # reference quirk: asChecksum() masks with 0xFFFFFFFL (7 F's)
+    s = StreamingXXH32(0)
+    s.update(b"hello world hello world")
+    assert s.checksum_value() == s.get_value() & 0xFFFFFFF
+    assert s.checksum_value() < (1 << 28)
+
+
+def test_factory_signed_semantics():
+    f = XXHashFactory.safe_instance()
+    data = b"\xff" * 64
+    h = f.hash32().hash(data, 0, len(data), 0)
+    assert -(1 << 31) <= h < (1 << 31)
+    assert h & 0xFFFFFFFF == xxh32(data, 0, len(data), 0)
+    h64 = f.hash64().hash(data, 0, len(data), 0)
+    assert -(1 << 63) <= h64 < (1 << 63)
+    assert h64 & 0xFFFFFFFFFFFFFFFF == xxh64(data, 0, len(data), 0)
+
+
+def test_factory_streaming_matches_oneshot():
+    f = XXHashFactory.safe_instance()
+    data = bytes(range(256)) * 3
+    s = f.new_streaming_hash32(7)
+    s.update(data)
+    assert s.get_value() == f.hash32().hash(data, 0, len(data), 7)
+    s64 = f.new_streaming_hash64(7)
+    s64.update(data)
+    assert s64.get_value() == f.hash64().hash(data, 0, len(data), 7)
+
+
+def test_offsets_and_ranges(rng):
+    data = bytes(rng.randrange(256) for _ in range(300))
+    assert xxh32(data, 10, 100, 5) == xxh32(data[10:110], 0, 100, 5)
+    with pytest.raises(IndexError):
+        xxh32(data, 250, 100, 0)
+    with pytest.raises(IndexError):
+        xxh32(data, -1, 10, 0)
+
+
+def test_long_accumulation_multi_mb():
+    """Reduced-scale analog of the reference's >8GB test4GB accumulation
+    (XXHash32Test.java:144-166): many random-sized updates, continuous
+    comparison against the one-shot hash."""
+    rng = random.Random(1234)
+    s32 = StreamingXXH32(0)
+    s64 = StreamingXXH64(0)
+    total = bytearray()
+    for _ in range(50):
+        chunk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 5000)))
+        total.extend(chunk)
+        s32.update(chunk)
+        s64.update(chunk)
+        assert s32.get_value() == xxh32(total)
+        assert s64.get_value() == xxh64(total)
