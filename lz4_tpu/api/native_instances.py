@@ -1,0 +1,250 @@
+"""The "native" tier: codec instances backed by the C++ shared library.
+
+The counterpart of lz4-java's JNI implementation family
+(``LZ4JNICompressor.java``, ``XXHash32JNI.java``,
+``StreamingXXHash32JNI.java:40-89``): range checks in Python, hot loops in
+C++, handle-based streaming state with an explicit close + use-after-free
+guard.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+
+from ..core.constants import DEFAULT_COMPRESSION_LEVEL, max_compressed_length
+from ..core.errors import Lz4Error
+from ..native import bindings
+from .abstract import (
+    Lz4Compressor, Lz4FastDecompressor, Lz4SafeDecompressor,
+    StreamingXXHash32, StreamingXXHash64, XXHash32, XXHash64,
+)
+
+_lib = bindings.load()
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _base_addr(buf):
+    """(address, keepalive) for a readable buffer; zero-copy where possible."""
+    if isinstance(buf, bytes):
+        keep = ctypes.c_char_p(buf)
+        return ctypes.cast(keep, ctypes.c_void_p).value, (buf, keep)
+    if isinstance(buf, memoryview):
+        if buf.readonly:
+            b = bytes(buf)
+            keep = ctypes.c_char_p(b)
+            return ctypes.cast(keep, ctypes.c_void_p).value, (b, keep)
+        buf = buf.obj if isinstance(buf.obj, bytearray) and buf.nbytes == len(buf.obj) else bytearray(buf)
+    arr = (ctypes.c_uint8 * len(buf)).from_buffer(buf)
+    return ctypes.addressof(arr), (buf, arr)
+
+
+def _wbase_addr(buf):
+    """(address, keepalive) for a writable buffer."""
+    if isinstance(buf, memoryview):
+        if buf.readonly:
+            raise TypeError("dest buffer is read-only")
+        buf = buf.obj if isinstance(buf.obj, bytearray) and buf.nbytes == len(buf.obj) else buf
+    arr = (ctypes.c_uint8 * len(buf)).from_buffer(buf)
+    return ctypes.addressof(arr), (buf, arr)
+
+
+def _ptr(addr, off):
+    return ctypes.cast(ctypes.c_void_p(addr + off), _U8P)
+
+
+def _check_range(buf, off, length):
+    if length < 0:
+        raise ValueError("lengths must be >= 0")
+    if length > 0 and (off < 0 or off + length > len(buf)):
+        raise IndexError(f"range [{off}, {off + length}) out of bounds for length {len(buf)}")
+
+
+def _raise_error(code: int, what: str):
+    if code == bindings.E_DEST_TOO_SMALL:
+        raise Lz4Error(f"maxDestLen is too small ({what})")
+    if code == bindings.E_MALFORMED:
+        raise Lz4Error(f"Malformed input ({what})")
+    raise Lz4Error(f"native error {code} ({what})")
+
+
+class FastCompressor(Lz4Compressor):
+    def compress(self, src, src_off, src_len, dest, dest_off, max_dest_len):
+        _check_range(src, src_off, src_len)
+        _check_range(dest, dest_off, max_dest_len)
+        s_addr, s_keep = _base_addr(src)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_compress_fast(
+            _ptr(s_addr, src_off), src_len, _ptr(d_addr, dest_off), max_dest_len)
+        del s_keep, d_keep
+        if n < 0:
+            _raise_error(n, "compress_fast")
+        return n
+
+
+class HighCompressor(Lz4Compressor):
+    def __init__(self, level: int = DEFAULT_COMPRESSION_LEVEL):
+        self.level = level
+
+    def compress(self, src, src_off, src_len, dest, dest_off, max_dest_len):
+        _check_range(src, src_off, src_len)
+        _check_range(dest, dest_off, max_dest_len)
+        s_addr, s_keep = _base_addr(src)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_compress_hc(
+            _ptr(s_addr, src_off), src_len, _ptr(d_addr, dest_off), max_dest_len,
+            self.level)
+        del s_keep, d_keep
+        if n < 0:
+            _raise_error(n, "compress_hc")
+        return n
+
+    def __repr__(self):
+        return f"{type(self).__name__}(level={self.level})"
+
+
+class FastDecompressor(Lz4FastDecompressor):
+    def decompress(self, src, src_off, dest, dest_off, dest_len):
+        if src_off < 0 or src_off >= len(src):
+            raise IndexError(f"src_off {src_off} out of bounds")
+        _check_range(dest, dest_off, dest_len)
+        s_addr, s_keep = _base_addr(src)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_decompress_fast(
+            _ptr(s_addr, src_off), len(src) - src_off, _ptr(d_addr, dest_off), dest_len)
+        del s_keep, d_keep
+        if n < 0:
+            _raise_error(n, "decompress_fast")
+        return n
+
+
+class SafeDecompressor(Lz4SafeDecompressor):
+    def decompress(self, src, src_off, src_len, dest, dest_off, max_dest_len):
+        _check_range(src, src_off, src_len)
+        _check_range(dest, dest_off, max_dest_len)
+        s_addr, s_keep = _base_addr(src)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_decompress_safe(
+            _ptr(s_addr, src_off), src_len, _ptr(d_addr, dest_off), max_dest_len)
+        del s_keep, d_keep
+        if n < 0:
+            _raise_error(n, "decompress_safe")
+        return n
+
+
+def _s32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _s64(v: int) -> int:
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class XXH32(XXHash32):
+    def hash(self, buf, off, length, seed):
+        _check_range(buf, off, length)
+        addr, keep = _base_addr(buf)
+        h = _lib.tpulz4_xxh32(_ptr(addr, off), length, seed & 0xFFFFFFFF)
+        del keep
+        return _s32(h)
+
+
+class XXH64(XXHash64):
+    def hash(self, buf, off, length, seed):
+        _check_range(buf, off, length)
+        addr, keep = _base_addr(buf)
+        h = _lib.tpulz4_xxh64(_ptr(addr, off), length, seed & 0xFFFFFFFFFFFFFFFF)
+        del keep
+        return _s64(h)
+
+
+class StreamingXXH32(StreamingXXHash32):
+    """Holds a native state handle; methods are serialized and guarded
+    against use-after-close (StreamingXXHash32JNI.java:40-89)."""
+
+    def __init__(self, seed: int):
+        super().__init__(seed)
+        self._lock = threading.Lock()
+        self._handle = _lib.tpulz4_xxh32_create(seed & 0xFFFFFFFF)
+
+    def _check_state(self):
+        if self._handle is None:
+            raise Lz4Error("Already finalized")
+
+    def update(self, buf, off: int = 0, length: int | None = None):
+        if length is None:
+            length = len(buf) - off
+        _check_range(buf, off, length)
+        with self._lock:
+            self._check_state()
+            addr, keep = _base_addr(buf)
+            _lib.tpulz4_xxh32_update(self._handle, _ptr(addr, off), length)
+            del keep
+
+    def get_value(self) -> int:
+        with self._lock:
+            self._check_state()
+            return _s32(_lib.tpulz4_xxh32_digest(self._handle))
+
+    def reset(self) -> None:
+        with self._lock:
+            self._check_state()
+            _lib.tpulz4_xxh32_reset(self._handle)
+
+    def close(self) -> None:
+        with self._lock:
+            if self._handle is not None:
+                _lib.tpulz4_xxh32_free(self._handle)
+                self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class StreamingXXH64(StreamingXXHash64):
+    def __init__(self, seed: int):
+        super().__init__(seed)
+        self._lock = threading.Lock()
+        self._handle = _lib.tpulz4_xxh64_create(seed & 0xFFFFFFFFFFFFFFFF)
+
+    def _check_state(self):
+        if self._handle is None:
+            raise Lz4Error("Already finalized")
+
+    def update(self, buf, off: int = 0, length: int | None = None):
+        if length is None:
+            length = len(buf) - off
+        _check_range(buf, off, length)
+        with self._lock:
+            self._check_state()
+            addr, keep = _base_addr(buf)
+            _lib.tpulz4_xxh64_update(self._handle, _ptr(addr, off), length)
+            del keep
+
+    def get_value(self) -> int:
+        with self._lock:
+            self._check_state()
+            return _s64(_lib.tpulz4_xxh64_digest(self._handle))
+
+    def reset(self) -> None:
+        with self._lock:
+            self._check_state()
+            _lib.tpulz4_xxh64_reset(self._handle)
+
+    def close(self) -> None:
+        with self._lock:
+            if self._handle is not None:
+                _lib.tpulz4_xxh64_free(self._handle)
+                self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

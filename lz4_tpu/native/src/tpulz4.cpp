@@ -1,0 +1,1005 @@
+// tpulz4: native C++ tier of the tpu-lz4 framework.
+//
+// This is the framework's "native instance" — the role lz4-java's JNI-to-C
+// tier plays (reference: src/jni/net_jpountz_lz4_LZ4JNI.c,
+// net_jpountz_xxhash_XXHashJNI.c). Written from scratch against the LZ4
+// block-format spec with the same search heuristics as the reference codecs
+// (hash-table fast scan with skip acceleration; HC chained match finder with
+// lazy 3-match optimization) so compressed output is byte-identical to the
+// framework's pure-Python "safe" tier — which the test suite asserts.
+//
+// Exposed as a flat C ABI consumed via ctypes (lz4_tpu/native/bindings.py).
+// Error convention: negative return values, see TPULZ4_E* below.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <thread>
+
+#if defined(_WIN32)
+#define TPULZ4_API extern "C" __declspec(dllexport)
+#else
+#define TPULZ4_API extern "C" __attribute__((visibility("default")))
+#endif
+
+namespace {
+
+// ---- constants (LZ4Constants.java:23-53 equivalents) ----
+constexpr int MIN_MATCH = 4;
+constexpr int HASH_LOG = 12;
+constexpr int HASH_LOG_64K = 13;
+constexpr int HASH_LOG_HC = 15;
+constexpr int SKIP_STRENGTH = 6;
+constexpr int COPY_LENGTH = 8;
+constexpr int LAST_LITERALS = 5;
+constexpr int MF_LIMIT = COPY_LENGTH + MIN_MATCH;
+constexpr int MIN_LENGTH = MF_LIMIT + 1;
+constexpr int MAX_DISTANCE = 1 << 16;
+constexpr int ML_BITS = 4;
+constexpr int ML_MASK = (1 << ML_BITS) - 1;
+constexpr int RUN_MASK = ML_MASK;
+constexpr int LZ4_64K_LIMIT = (1 << 16) + (MF_LIMIT - 1);
+constexpr int OPTIMAL_ML = ML_MASK - 1 + MIN_MATCH;
+constexpr uint32_t HASH_MULT = 2654435761u;
+
+inline uint32_t read32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/arm64); matches readIntLE
+}
+
+inline uint64_t read64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+inline uint32_t hash_general(uint32_t v) { return (v * HASH_MULT) >> (32 - HASH_LOG); }
+inline uint32_t hash_64k(uint32_t v) { return (v * HASH_MULT) >> (32 - HASH_LOG_64K); }
+inline uint32_t hash_hc(uint32_t v) { return (v * HASH_MULT) >> (32 - HASH_LOG_HC); }
+
+inline int common_bytes(const uint8_t* b, int o1, int o2, int limit) {
+  int count = 0;
+  while (o2 + count < limit && b[o1 + count] == b[o2 + count]) ++count;
+  return count;
+}
+
+inline int common_bytes_backward(const uint8_t* b, int o1, int o2, int l1, int l2) {
+  int count = 0;
+  while (o1 - count > l1 && o2 - count > l2 && b[o1 - count - 1] == b[o2 - count - 1]) ++count;
+  return count;
+}
+
+inline int write_len(int len, uint8_t* dest, int d) {
+  while (len >= 0xFF) { dest[d++] = 0xFF; len -= 0xFF; }
+  dest[d++] = (uint8_t)len;
+  return d;
+}
+
+}  // namespace
+
+// error codes
+constexpr int TPULZ4_E_DEST_TOO_SMALL = -1;
+constexpr int TPULZ4_E_MALFORMED = -2;
+constexpr int TPULZ4_E_PARAM = -3;
+
+// ---------------------------------------------------------------------------
+// fast-scan compressor
+// ---------------------------------------------------------------------------
+
+static int compress64k(const uint8_t* src, int src_len, uint8_t* dest, int dest_end) {
+  const int src_end = src_len;
+  const int src_limit = src_end - LAST_LITERALS;
+  const int mflimit = src_end - MF_LIMIT;
+  int s = 0, d = 0, anchor = 0;
+
+  if (src_len >= MIN_LENGTH) {
+    std::vector<uint16_t> table(1 << HASH_LOG_64K, 0);
+    ++s;
+    for (;;) {
+      // find a match with skip acceleration
+      int forward = s;
+      int step = 1;
+      int search_match_nb = 1 << SKIP_STRENGTH;
+      int ref;
+      do {
+        s = forward;
+        forward += step;
+        step = search_match_nb++ >> SKIP_STRENGTH;
+        if (forward > mflimit) goto last;
+        uint32_t h = hash_64k(read32(src + s));
+        ref = table[h];
+        table[h] = (uint16_t)s;
+      } while (read32(src + ref) != read32(src + s));
+
+      {
+        int excess = common_bytes_backward(src, ref, s, 0, anchor);
+        s -= excess;
+        ref -= excess;
+
+        int run_len = s - anchor;
+        int token_off = d++;
+        if (d + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > dest_end)
+          return TPULZ4_E_DEST_TOO_SMALL;
+        if (run_len >= RUN_MASK) {
+          dest[token_off] = RUN_MASK << ML_BITS;
+          d = write_len(run_len - RUN_MASK, dest, d);
+        } else {
+          dest[token_off] = (uint8_t)(run_len << ML_BITS);
+        }
+        std::memcpy(dest + d, src + anchor, run_len);
+        d += run_len;
+
+        for (;;) {
+          int back = s - ref;
+          dest[d] = (uint8_t)back;
+          dest[d + 1] = (uint8_t)(back >> 8);
+          d += 2;
+
+          s += MIN_MATCH;
+          ref += MIN_MATCH;
+          int match_len = common_bytes(src, ref, s, src_limit);
+          if (d + (1 + LAST_LITERALS) + (match_len >> 8) > dest_end)
+            return TPULZ4_E_DEST_TOO_SMALL;
+          s += match_len;
+
+          if (match_len >= ML_MASK) {
+            dest[token_off] |= ML_MASK;
+            d = write_len(match_len - ML_MASK, dest, d);
+          } else {
+            dest[token_off] |= (uint8_t)match_len;
+          }
+
+          if (s > mflimit) { anchor = s; goto last; }
+
+          table[hash_64k(read32(src + s - 2))] = (uint16_t)(s - 2);
+          uint32_t h = hash_64k(read32(src + s));
+          ref = table[h];
+          table[h] = (uint16_t)s;
+          if (read32(src + s) != read32(src + ref)) break;
+
+          token_off = d++;
+          dest[token_off] = 0;
+        }
+        anchor = s++;
+      }
+    }
+  }
+last:
+  {
+    int run_len = src_end - anchor;
+    if (d + run_len + 1 + (run_len + 255 - RUN_MASK) / 255 > dest_end)
+      return TPULZ4_E_DEST_TOO_SMALL;
+    if (run_len >= RUN_MASK) {
+      dest[d++] = RUN_MASK << ML_BITS;
+      d = write_len(run_len - RUN_MASK, dest, d);
+    } else {
+      dest[d++] = (uint8_t)(run_len << ML_BITS);
+    }
+    std::memcpy(dest + d, src + anchor, run_len);
+    d += run_len;
+  }
+  return d;
+}
+
+static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int dest_end) {
+  const int src_end = src_len;
+  const int src_limit = src_end - LAST_LITERALS;
+  const int mflimit = src_end - MF_LIMIT;
+  int s = 0, d = 0;
+  int anchor = s++;
+
+  std::vector<int32_t> table(1 << HASH_LOG, 0);  // init to anchor == 0
+
+  for (;;) {
+    int forward = s;
+    int step = 1;
+    int search_match_nb = 1 << SKIP_STRENGTH;
+    int ref, back;
+    do {
+      s = forward;
+      forward += step;
+      step = search_match_nb++ >> SKIP_STRENGTH;
+      if (forward > mflimit) goto last;
+      uint32_t h = hash_general(read32(src + s));
+      ref = table[h];
+      back = s - ref;
+      table[h] = s;
+    } while (back >= MAX_DISTANCE || read32(src + ref) != read32(src + s));
+
+    {
+      int excess = common_bytes_backward(src, ref, s, 0, anchor);
+      s -= excess;
+      ref -= excess;
+
+      int run_len = s - anchor;
+      int token_off = d++;
+      if (d + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > dest_end)
+        return TPULZ4_E_DEST_TOO_SMALL;
+      if (run_len >= RUN_MASK) {
+        dest[token_off] = RUN_MASK << ML_BITS;
+        d = write_len(run_len - RUN_MASK, dest, d);
+      } else {
+        dest[token_off] = (uint8_t)(run_len << ML_BITS);
+      }
+      std::memcpy(dest + d, src + anchor, run_len);
+      d += run_len;
+
+      for (;;) {
+        dest[d] = (uint8_t)back;
+        dest[d + 1] = (uint8_t)(back >> 8);
+        d += 2;
+
+        s += MIN_MATCH;
+        int match_len = common_bytes(src, ref + MIN_MATCH, s, src_limit);
+        if (d + (1 + LAST_LITERALS) + (match_len >> 8) > dest_end)
+          return TPULZ4_E_DEST_TOO_SMALL;
+        s += match_len;
+
+        if (match_len >= ML_MASK) {
+          dest[token_off] |= ML_MASK;
+          d = write_len(match_len - ML_MASK, dest, d);
+        } else {
+          dest[token_off] |= (uint8_t)match_len;
+        }
+
+        if (s > mflimit) { anchor = s; goto last; }
+
+        table[hash_general(read32(src + s - 2))] = s - 2;
+        uint32_t h = hash_general(read32(src + s));
+        ref = table[h];
+        table[h] = s;
+        back = s - ref;
+        if (back >= MAX_DISTANCE || read32(src + ref) != read32(src + s)) break;
+
+        token_off = d++;
+        dest[token_off] = 0;
+      }
+      anchor = s++;
+    }
+  }
+last:
+  {
+    int run_len = src_end - anchor;
+    if (d + run_len + 1 + (run_len + 255 - RUN_MASK) / 255 > dest_end)
+      return TPULZ4_E_DEST_TOO_SMALL;
+    if (run_len >= RUN_MASK) {
+      dest[d++] = RUN_MASK << ML_BITS;
+      d = write_len(run_len - RUN_MASK, dest, d);
+    } else {
+      dest[d++] = (uint8_t)(run_len << ML_BITS);
+    }
+    std::memcpy(dest + d, src + anchor, run_len);
+    d += run_len;
+  }
+  return d;
+}
+
+TPULZ4_API int tpulz4_compress_fast(const uint8_t* src, int src_len,
+                                    uint8_t* dest, int max_dest_len) {
+  if (src_len < 0 || max_dest_len < 0) return TPULZ4_E_PARAM;
+  if (src_len < LZ4_64K_LIMIT) return compress64k(src, src_len, dest, max_dest_len);
+  return compress_general(src, src_len, dest, max_dest_len);
+}
+
+TPULZ4_API int tpulz4_max_compressed_length(int length) {
+  if (length < 0 || length >= 0x7E000000) return TPULZ4_E_PARAM;
+  return length + length / 255 + 16;
+}
+
+// ---------------------------------------------------------------------------
+// HC compressor (chained match finder + lazy 3-match optimizer)
+// ---------------------------------------------------------------------------
+
+namespace hc {
+
+struct Match {
+  int start = 0, ref = 0, len = 0;
+  void fix(int correction) { start += correction; ref += correction; len -= correction; }
+  int end() const { return start + len; }
+};
+
+struct HashTable {
+  int next_to_update = 0;
+  std::vector<int32_t> head;
+  std::vector<uint16_t> chain;
+  int max_attempts;
+
+  explicit HashTable(int attempts)
+      : head(1 << HASH_LOG_HC, -1), chain(MAX_DISTANCE, 0), max_attempts(attempts) {}
+
+  int next(int off) const { return off - chain[off & (MAX_DISTANCE - 1)]; }
+
+  void add_hash(const uint8_t* src, int off) {
+    uint32_t h = hash_hc(read32(src + off));
+    int delta = off - head[h];
+    if (delta >= MAX_DISTANCE) delta = MAX_DISTANCE - 1;
+    chain[off & (MAX_DISTANCE - 1)] = (uint16_t)delta;
+    head[h] = off;
+  }
+
+  void insert(int off, const uint8_t* src) {
+    for (; next_to_update < off; ++next_to_update) add_hash(src, next_to_update);
+  }
+
+  bool insert_and_find_best_match(const uint8_t* src, int off, int match_limit, Match& m) {
+    m.start = off;
+    m.len = 0;
+    int delta = 0, repl = 0;
+
+    insert(off, src);
+    int ref = head[hash_hc(read32(src + off))];
+
+    if (ref >= off - 4 && ref <= off && ref >= 0) {  // potential repetition
+      if (read32(src + ref) == read32(src + off)) {
+        delta = off - ref;
+        repl = m.len = MIN_MATCH + common_bytes(src, ref + MIN_MATCH, off + MIN_MATCH, match_limit);
+        m.ref = ref;
+      }
+      ref = next(ref);
+    }
+
+    int lo = off - MAX_DISTANCE + 1;
+    if (lo < 0) lo = 0;
+    for (int i = 0; i < max_attempts; ++i) {
+      if (ref < lo || ref > off) break;
+      if (read32(src + ref) == read32(src + off)) {
+        int len = MIN_MATCH + common_bytes(src, ref + MIN_MATCH, off + MIN_MATCH, match_limit);
+        if (len > m.len) { m.ref = ref; m.len = len; }
+      }
+      ref = next(ref);
+    }
+
+    if (repl != 0) {
+      int ptr = off;
+      const int end = off + repl - (MIN_MATCH - 1);
+      while (ptr < end - delta) {
+        chain[ptr & (MAX_DISTANCE - 1)] = (uint16_t)delta;
+        ++ptr;
+      }
+      do {
+        chain[ptr & (MAX_DISTANCE - 1)] = (uint16_t)delta;
+        head[hash_hc(read32(src + ptr))] = ptr;
+        ++ptr;
+      } while (ptr < end);
+      next_to_update = end;
+    }
+    return m.len != 0;
+  }
+
+  bool insert_and_find_wider_match(const uint8_t* src, int off, int start_limit,
+                                   int match_limit, int min_len, Match& m) {
+    m.len = min_len;
+    insert(off, src);
+    int ref = head[hash_hc(read32(src + off))];
+    int lo = off - MAX_DISTANCE + 1;
+    if (lo < 0) lo = 0;
+    for (int i = 0; i < max_attempts; ++i) {
+      if (ref < lo || ref > off) break;
+      if (read32(src + ref) == read32(src + off)) {
+        int fwd = MIN_MATCH + common_bytes(src, ref + MIN_MATCH, off + MIN_MATCH, match_limit);
+        int bwd = common_bytes_backward(src, ref, off, 0, start_limit);
+        int len = bwd + fwd;
+        if (len > m.len) {
+          m.len = len;
+          m.ref = ref - bwd;
+          m.start = off - bwd;
+        }
+      }
+      ref = next(ref);
+    }
+    return m.len > min_len;
+  }
+};
+
+static int encode_sequence(const uint8_t* src, int anchor, int match_off, int match_ref,
+                           int match_len, uint8_t* dest, int d, int dest_end) {
+  int run_len = match_off - anchor;
+  int token_off = d++;
+  if (d + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > dest_end)
+    return TPULZ4_E_DEST_TOO_SMALL;
+
+  int token;
+  if (run_len >= RUN_MASK) {
+    token = RUN_MASK << ML_BITS;
+    d = write_len(run_len - RUN_MASK, dest, d);
+  } else {
+    token = run_len << ML_BITS;
+  }
+  std::memcpy(dest + d, src + anchor, run_len);
+  d += run_len;
+
+  int match_dec = match_off - match_ref;
+  dest[d++] = (uint8_t)match_dec;
+  dest[d++] = (uint8_t)(match_dec >> 8);
+
+  match_len -= 4;
+  if (d + (1 + LAST_LITERALS) + (match_len >> 8) > dest_end)
+    return TPULZ4_E_DEST_TOO_SMALL;
+  if (match_len >= ML_MASK) {
+    token |= ML_MASK;
+    d = write_len(match_len - RUN_MASK, dest, d);
+  } else {
+    token |= match_len;
+  }
+  dest[token_off] = (uint8_t)token;
+  return d;
+}
+
+}  // namespace hc
+
+TPULZ4_API int tpulz4_compress_hc(const uint8_t* src, int src_len,
+                                  uint8_t* dest, int max_dest_len, int level) {
+  using hc::Match;
+  if (src_len < 0 || max_dest_len < 0 || level < 1 || level > 17) return TPULZ4_E_PARAM;
+
+  const int src_end = src_len;
+  const int dest_end = max_dest_len;
+  const int mf_limit = src_end - MF_LIMIT;
+  const int match_limit = src_end - LAST_LITERALS;
+
+  int s = 0, d = 0;
+  int anchor = s++;
+
+  hc::HashTable ht(1 << (level - 1));
+  Match m0, m1, m2, m3;
+
+  while (s < mf_limit) {
+    if (!ht.insert_and_find_best_match(src, s, match_limit, m1)) {
+      ++s;
+      continue;
+    }
+    m0 = m1;  // saved, in case we would skip too much
+
+    bool to_main = false;
+    while (!to_main) {  // search2
+      if (m1.end() >= mf_limit ||
+          !ht.insert_and_find_wider_match(src, m1.end() - 2, m1.start + 1,
+                                          match_limit, m1.len, m2)) {
+        d = hc::encode_sequence(src, anchor, m1.start, m1.ref, m1.len, dest, d, dest_end);
+        if (d < 0) return d;
+        anchor = s = m1.end();
+        break;  // continue main
+      }
+
+      if (m0.start < m1.start && m2.start < m1.start + m0.len) m1 = m0;  // empirical
+
+      if (m2.start - m1.start < 3) {  // first match too small
+        m1 = m2;
+        continue;  // search2
+      }
+
+      bool to_search2 = false;
+      while (!to_search2) {  // search3
+        if (m2.start - m1.start < OPTIMAL_ML) {
+          int new_len = m1.len;
+          if (new_len > OPTIMAL_ML) new_len = OPTIMAL_ML;
+          if (m1.start + new_len > m2.end() - MIN_MATCH)
+            new_len = m2.start - m1.start + m2.len - MIN_MATCH;
+          int correction = new_len - (m2.start - m1.start);
+          if (correction > 0) m2.fix(correction);
+        }
+
+        if (m2.start + m2.len >= mf_limit ||
+            !ht.insert_and_find_wider_match(src, m2.end() - 3, m2.start,
+                                            match_limit, m2.len, m3)) {
+          // no better match: two sequences to encode
+          if (m2.start < m1.end()) m1.len = m2.start - m1.start;
+          d = hc::encode_sequence(src, anchor, m1.start, m1.ref, m1.len, dest, d, dest_end);
+          if (d < 0) return d;
+          anchor = s = m1.end();
+          d = hc::encode_sequence(src, anchor, m2.start, m2.ref, m2.len, dest, d, dest_end);
+          if (d < 0) return d;
+          anchor = s = m2.end();
+          to_main = true;
+          break;
+        }
+
+        if (m3.start < m1.end() + 3) {  // not enough space for match 2
+          if (m3.start >= m1.end()) {  // seq2 removed; seq3 becomes seq1
+            if (m2.start < m1.end()) {
+              int correction = m1.end() - m2.start;
+              m2.fix(correction);
+              if (m2.len < MIN_MATCH) m2 = m3;
+            }
+            d = hc::encode_sequence(src, anchor, m1.start, m1.ref, m1.len, dest, d, dest_end);
+            if (d < 0) return d;
+            anchor = s = m1.end();
+            m1 = m3;
+            m0 = m2;
+            to_search2 = true;
+            break;
+          }
+          m2 = m3;
+          continue;  // search3
+        }
+
+        // three ascending matches; write at least the first one
+        if (m2.start < m1.end()) {
+          if (m2.start - m1.start < ML_MASK) {
+            if (m1.len > OPTIMAL_ML) m1.len = OPTIMAL_ML;
+            if (m1.end() > m2.end() - MIN_MATCH) m1.len = m2.end() - m1.start - MIN_MATCH;
+            int correction = m1.end() - m2.start;
+            m2.fix(correction);
+          } else {
+            m1.len = m2.start - m1.start;
+          }
+        }
+        d = hc::encode_sequence(src, anchor, m1.start, m1.ref, m1.len, dest, d, dest_end);
+        if (d < 0) return d;
+        anchor = s = m1.end();
+        m1 = m2;
+        m2 = m3;
+        // continue search3
+      }
+    }
+  }
+
+  {
+    int run_len = src_end - anchor;
+    if (d + run_len + 1 + (run_len + 255 - RUN_MASK) / 255 > dest_end)
+      return TPULZ4_E_DEST_TOO_SMALL;
+    if (run_len >= RUN_MASK) {
+      dest[d++] = RUN_MASK << ML_BITS;
+      d = write_len(run_len - RUN_MASK, dest, d);
+    } else {
+      dest[d++] = (uint8_t)(run_len << ML_BITS);
+    }
+    std::memcpy(dest + d, src + anchor, run_len);
+    d += run_len;
+  }
+  return d;
+}
+
+// ---------------------------------------------------------------------------
+// decompressors
+// ---------------------------------------------------------------------------
+
+TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
+                                      uint8_t* dest, int dest_len) {
+  if (src_len < 0 || dest_len < 0) return TPULZ4_E_PARAM;
+  if (dest_len == 0) {
+    if (src_len != 1 || src[0] != 0) return TPULZ4_E_MALFORMED;
+    return 0;
+  }
+
+  int s = 0, d = 0;
+  const int src_end = src_len;
+  const int dest_end = dest_len;
+
+  for (;;) {
+    if (s >= src_end) return TPULZ4_E_MALFORMED;
+    int token = src[s++];
+
+    int literal_len = token >> ML_BITS;
+    if (literal_len == RUN_MASK) {
+      int b = 0xFF;
+      while (s < src_end) {
+        b = src[s++];
+        if (b != 0xFF) break;
+        literal_len += 0xFF;
+      }
+      literal_len += b;
+    }
+
+    int literal_copy_end = d + literal_len;
+    if (literal_copy_end > dest_end - COPY_LENGTH || s + literal_len > src_end - COPY_LENGTH) {
+      if (literal_copy_end > dest_end) return TPULZ4_E_DEST_TOO_SMALL;
+      if (s + literal_len != src_end) return TPULZ4_E_MALFORMED;
+      std::memcpy(dest + d, src + s, literal_len);
+      d = literal_copy_end;
+      break;  // EOF
+    }
+    std::memcpy(dest + d, src + s, literal_len);
+    s += literal_len;
+    d = literal_copy_end;
+
+    int match_dec = src[s] | (src[s + 1] << 8);
+    s += 2;
+    int match_off = d - match_dec;
+    if (match_off < 0) return TPULZ4_E_MALFORMED;
+
+    int match_len = token & ML_MASK;
+    if (match_len == ML_MASK) {
+      int b = 0xFF;
+      while (s < src_end) {
+        b = src[s++];
+        if (b != 0xFF) break;
+        match_len += 0xFF;
+      }
+      match_len += b;
+    }
+    match_len += MIN_MATCH;
+
+    int match_copy_end = d + match_len;
+    if (match_copy_end > dest_end) return TPULZ4_E_MALFORMED;
+    if (match_dec >= 8 && match_dec >= match_len) {
+      std::memcpy(dest + d, dest + match_off, (size_t)match_len);
+    } else {
+      for (int i = 0; i < match_len; ++i) dest[d + i] = dest[match_off + i];
+    }
+    d = match_copy_end;
+  }
+  return d;
+}
+
+TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
+                                      uint8_t* dest, int dest_len) {
+  if (src_avail <= 0 || dest_len < 0) return TPULZ4_E_PARAM;
+  if (dest_len == 0) {
+    if (src[0] != 0) return TPULZ4_E_MALFORMED;
+    return 1;
+  }
+
+  int s = 0, d = 0;
+  const int dest_end = dest_len;
+
+  for (;;) {
+    if (s >= src_avail) return TPULZ4_E_MALFORMED;
+    int token = src[s++];
+
+    int literal_len = token >> ML_BITS;
+    if (literal_len == RUN_MASK) {
+      for (;;) {
+        if (s >= src_avail) return TPULZ4_E_MALFORMED;
+        int b = src[s++];
+        if (b != 0xFF) { literal_len += b; break; }
+        literal_len += 0xFF;
+      }
+    }
+
+    int literal_copy_end = d + literal_len;
+    if (literal_copy_end > dest_end - COPY_LENGTH) {
+      if (literal_copy_end != dest_end) return TPULZ4_E_MALFORMED;
+      if (s + literal_len > src_avail) return TPULZ4_E_MALFORMED;
+      std::memcpy(dest + d, src + s, literal_len);
+      s += literal_len;
+      d = literal_copy_end;
+      break;  // EOF
+    }
+    if (s + literal_len + 2 > src_avail) return TPULZ4_E_MALFORMED;
+    std::memcpy(dest + d, src + s, literal_len);
+    s += literal_len;
+    d = literal_copy_end;
+
+    int match_dec = src[s] | (src[s + 1] << 8);
+    s += 2;
+    int match_off = d - match_dec;
+    if (match_off < 0) return TPULZ4_E_MALFORMED;
+
+    int match_len = token & ML_MASK;
+    if (match_len == ML_MASK) {
+      for (;;) {
+        if (s >= src_avail) return TPULZ4_E_MALFORMED;
+        int b = src[s++];
+        if (b != 0xFF) { match_len += b; break; }
+        match_len += 0xFF;
+      }
+    }
+    match_len += MIN_MATCH;
+
+    int match_copy_end = d + match_len;
+    if (match_copy_end > dest_end) return TPULZ4_E_MALFORMED;
+    if (match_dec >= 8 && match_dec >= match_len) {
+      std::memcpy(dest + d, dest + match_off, (size_t)match_len);
+    } else {
+      for (int i = 0; i < match_len; ++i) dest[d + i] = dest[match_off + i];
+    }
+    d = match_copy_end;
+  }
+  return s;
+}
+
+// ---------------------------------------------------------------------------
+// xxHash32 / xxHash64 (one-shot + streaming)
+// ---------------------------------------------------------------------------
+
+namespace xx {
+
+constexpr uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                   P4 = 668265263u, P5 = 374761393u;
+constexpr uint64_t Q1 = 11400714785074694791ull, Q2 = 14029467366897019727ull,
+                   Q3 = 1609587929392839161ull, Q4 = 9650029242287828579ull,
+                   Q5 = 2870177450012600261ull;
+
+inline uint32_t rotl32(uint32_t v, int n) { return (v << n) | (v >> (32 - n)); }
+inline uint64_t rotl64(uint64_t v, int n) { return (v << n) | (v >> (64 - n)); }
+inline uint32_t round32(uint32_t v, uint32_t x) { return rotl32(v + x * P2, 13) * P1; }
+inline uint64_t round64(uint64_t v, uint64_t x) { return rotl64(v + x * Q2, 31) * Q1; }
+
+inline uint32_t avalanche32(uint32_t h) {
+  h ^= h >> 15; h *= P2; h ^= h >> 13; h *= P3; h ^= h >> 16;
+  return h;
+}
+
+inline uint64_t avalanche64(uint64_t h) {
+  h ^= h >> 33; h *= Q2; h ^= h >> 29; h *= Q3; h ^= h >> 32;
+  return h;
+}
+
+inline uint32_t tail32(uint32_t h, const uint8_t* p, const uint8_t* end) {
+  while (p + 4 <= end) { h += read32(p) * P3; h = rotl32(h, 17) * P4; p += 4; }
+  while (p < end) { h += (*p++) * P5; h = rotl32(h, 11) * P1; }
+  return avalanche32(h);
+}
+
+inline uint64_t tail64(uint64_t h, const uint8_t* p, const uint8_t* end) {
+  while (p + 8 <= end) {
+    h ^= round64(0, read64(p));
+    h = rotl64(h, 27) * Q1 + Q4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= (uint64_t)read32(p) * Q1;
+    h = rotl64(h, 23) * Q2 + Q3;
+    p += 4;
+  }
+  while (p < end) { h ^= (*p++) * Q5; h = rotl64(h, 11) * Q1; }
+  return avalanche64(h);
+}
+
+}  // namespace xx
+
+TPULZ4_API uint32_t tpulz4_xxh32(const uint8_t* buf, int64_t len, uint32_t seed) {
+  using namespace xx;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+  uint32_t h;
+  if (len >= 16) {
+    uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* limit = end - 16;
+    do {
+      v1 = round32(v1, read32(p)); p += 4;
+      v2 = round32(v2, read32(p)); p += 4;
+      v3 = round32(v3, read32(p)); p += 4;
+      v4 = round32(v4, read32(p)); p += 4;
+    } while (p <= limit);
+    h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+  } else {
+    h = seed + P5;
+  }
+  h += (uint32_t)len;
+  return tail32(h, p, end);
+}
+
+TPULZ4_API uint64_t tpulz4_xxh64(const uint8_t* buf, int64_t len, uint64_t seed) {
+  using namespace xx;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+  uint64_t h;
+  if (len >= 32) {
+    uint64_t v1 = seed + Q1 + Q2, v2 = seed + Q2, v3 = seed, v4 = seed - Q1;
+    const uint8_t* limit = end - 32;
+    do {
+      v1 = round64(v1, read64(p)); p += 8;
+      v2 = round64(v2, read64(p)); p += 8;
+      v3 = round64(v3, read64(p)); p += 8;
+      v4 = round64(v4, read64(p)); p += 8;
+    } while (p <= limit);
+    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+    h ^= round64(0, v1); h = h * Q1 + Q4;
+    h ^= round64(0, v2); h = h * Q1 + Q4;
+    h ^= round64(0, v3); h = h * Q1 + Q4;
+    h ^= round64(0, v4); h = h * Q1 + Q4;
+  } else {
+    h = seed + Q5;
+  }
+  h += (uint64_t)len;
+  return tail64(h, p, end);
+}
+
+// streaming state (handle-based, mirroring the JNI streaming lifecycle:
+// XXHashJNI.c:89-150 — malloc'd state behind an opaque pointer)
+struct XXH32State {
+  uint32_t v1, v2, v3, v4;
+  uint8_t memory[16];
+  int mem_size;
+  uint64_t total_len;
+  uint32_t seed;
+};
+
+struct XXH64State {
+  uint64_t v1, v2, v3, v4;
+  uint8_t memory[32];
+  int mem_size;
+  uint64_t total_len;
+  uint64_t seed;
+};
+
+TPULZ4_API void* tpulz4_xxh32_create(uint32_t seed) {
+  using namespace xx;
+  auto* st = new XXH32State();
+  st->seed = seed;
+  st->v1 = seed + P1 + P2; st->v2 = seed + P2; st->v3 = seed; st->v4 = seed - P1;
+  st->mem_size = 0;
+  st->total_len = 0;
+  return st;
+}
+
+TPULZ4_API void tpulz4_xxh32_reset(void* handle) {
+  using namespace xx;
+  auto* st = (XXH32State*)handle;
+  uint32_t seed = st->seed;
+  st->v1 = seed + P1 + P2; st->v2 = seed + P2; st->v3 = seed; st->v4 = seed - P1;
+  st->mem_size = 0;
+  st->total_len = 0;
+}
+
+TPULZ4_API void tpulz4_xxh32_update(void* handle, const uint8_t* buf, int64_t len) {
+  using namespace xx;
+  auto* st = (XXH32State*)handle;
+  st->total_len += (uint64_t)len;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+
+  if (st->mem_size + len < 16) {
+    std::memcpy(st->memory + st->mem_size, p, (size_t)len);
+    st->mem_size += (int)len;
+    return;
+  }
+  if (st->mem_size > 0) {
+    int take = 16 - st->mem_size;
+    std::memcpy(st->memory + st->mem_size, p, take);
+    st->v1 = round32(st->v1, read32(st->memory));
+    st->v2 = round32(st->v2, read32(st->memory + 4));
+    st->v3 = round32(st->v3, read32(st->memory + 8));
+    st->v4 = round32(st->v4, read32(st->memory + 12));
+    p += take;
+    st->mem_size = 0;
+  }
+  if (p + 16 <= end) {
+    uint32_t v1 = st->v1, v2 = st->v2, v3 = st->v3, v4 = st->v4;
+    const uint8_t* limit = end - 16;
+    do {
+      v1 = round32(v1, read32(p)); p += 4;
+      v2 = round32(v2, read32(p)); p += 4;
+      v3 = round32(v3, read32(p)); p += 4;
+      v4 = round32(v4, read32(p)); p += 4;
+    } while (p <= limit);
+    st->v1 = v1; st->v2 = v2; st->v3 = v3; st->v4 = v4;
+  }
+  if (p < end) {
+    std::memcpy(st->memory, p, end - p);
+    st->mem_size = (int)(end - p);
+  }
+}
+
+TPULZ4_API uint32_t tpulz4_xxh32_digest(void* handle) {
+  using namespace xx;
+  auto* st = (XXH32State*)handle;
+  uint32_t h;
+  if (st->total_len >= 16) {
+    h = rotl32(st->v1, 1) + rotl32(st->v2, 7) + rotl32(st->v3, 12) + rotl32(st->v4, 18);
+  } else {
+    h = st->seed + P5;
+  }
+  h += (uint32_t)st->total_len;
+  return tail32(h, st->memory, st->memory + st->mem_size);
+}
+
+TPULZ4_API void tpulz4_xxh32_free(void* handle) { delete (XXH32State*)handle; }
+
+TPULZ4_API void* tpulz4_xxh64_create(uint64_t seed) {
+  using namespace xx;
+  auto* st = new XXH64State();
+  st->seed = seed;
+  st->v1 = seed + Q1 + Q2; st->v2 = seed + Q2; st->v3 = seed; st->v4 = seed - Q1;
+  st->mem_size = 0;
+  st->total_len = 0;
+  return st;
+}
+
+TPULZ4_API void tpulz4_xxh64_reset(void* handle) {
+  using namespace xx;
+  auto* st = (XXH64State*)handle;
+  uint64_t seed = st->seed;
+  st->v1 = seed + Q1 + Q2; st->v2 = seed + Q2; st->v3 = seed; st->v4 = seed - Q1;
+  st->mem_size = 0;
+  st->total_len = 0;
+}
+
+TPULZ4_API void tpulz4_xxh64_update(void* handle, const uint8_t* buf, int64_t len) {
+  using namespace xx;
+  auto* st = (XXH64State*)handle;
+  st->total_len += (uint64_t)len;
+  const uint8_t* p = buf;
+  const uint8_t* end = buf + len;
+
+  if (st->mem_size + len < 32) {
+    std::memcpy(st->memory + st->mem_size, p, (size_t)len);
+    st->mem_size += (int)len;
+    return;
+  }
+  if (st->mem_size > 0) {
+    int take = 32 - st->mem_size;
+    std::memcpy(st->memory + st->mem_size, p, take);
+    st->v1 = round64(st->v1, read64(st->memory));
+    st->v2 = round64(st->v2, read64(st->memory + 8));
+    st->v3 = round64(st->v3, read64(st->memory + 16));
+    st->v4 = round64(st->v4, read64(st->memory + 24));
+    p += take;
+    st->mem_size = 0;
+  }
+  if (p + 32 <= end) {
+    uint64_t v1 = st->v1, v2 = st->v2, v3 = st->v3, v4 = st->v4;
+    const uint8_t* limit = end - 32;
+    do {
+      v1 = round64(v1, read64(p)); p += 8;
+      v2 = round64(v2, read64(p)); p += 8;
+      v3 = round64(v3, read64(p)); p += 8;
+      v4 = round64(v4, read64(p)); p += 8;
+    } while (p <= limit);
+    st->v1 = v1; st->v2 = v2; st->v3 = v3; st->v4 = v4;
+  }
+  if (p < end) {
+    std::memcpy(st->memory, p, end - p);
+    st->mem_size = (int)(end - p);
+  }
+}
+
+TPULZ4_API uint64_t tpulz4_xxh64_digest(void* handle) {
+  using namespace xx;
+  auto* st = (XXH64State*)handle;
+  uint64_t h;
+  if (st->total_len >= 32) {
+    h = rotl64(st->v1, 1) + rotl64(st->v2, 7) + rotl64(st->v3, 12) + rotl64(st->v4, 18);
+    h ^= round64(0, st->v1); h = h * Q1 + Q4;
+    h ^= round64(0, st->v2); h = h * Q1 + Q4;
+    h ^= round64(0, st->v3); h = h * Q1 + Q4;
+    h ^= round64(0, st->v4); h = h * Q1 + Q4;
+  } else {
+    h = st->seed + Q5;
+  }
+  h += st->total_len;
+  return tail64(h, st->memory, st->memory + st->mem_size);
+}
+
+TPULZ4_API void tpulz4_xxh64_free(void* handle) { delete (XXH64State*)handle; }
+
+// ---------------------------------------------------------------------------
+// batched/parallel entry points (host-side data-plane: many independent
+// blocks, the same block-parallel decomposition the TPU tier uses)
+// ---------------------------------------------------------------------------
+
+TPULZ4_API void tpulz4_compress_fast_batch(
+    const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
+    uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
+    int32_t* out_lens, int32_t n_blocks, int32_t n_threads) {
+  auto work = [&](int t) {
+    for (int i = t; i < n_blocks; i += n_threads) {
+      out_lens[i] = tpulz4_compress_fast(src + src_offsets[i], src_lens[i],
+                                         dest + dest_offsets[i], max_dest_len_each);
+    }
+  };
+  if (n_threads <= 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+}
+
+TPULZ4_API void tpulz4_decompress_safe_batch(
+    const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
+    uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
+    int32_t* out_lens, int32_t n_blocks, int32_t n_threads) {
+  auto work = [&](int t) {
+    for (int i = t; i < n_blocks; i += n_threads) {
+      out_lens[i] = tpulz4_decompress_safe(src + src_offsets[i], src_lens[i],
+                                           dest + dest_offsets[i], max_dest_len_each);
+    }
+  };
+  if (n_threads <= 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+}
+
+TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.1.0"; }

@@ -1,0 +1,127 @@
+"""Native (C++) tier tests: byte-parity with the safe oracle, error mapping,
+streaming handle lifecycle (the differential matrix of LZ4Test.java:305-324
+and the resource-lifecycle tests of XXHash32Test.java:167-191)."""
+
+import pytest
+
+from lz4_tpu.core.errors import Lz4Error
+
+native = pytest.importorskip("lz4_tpu.api.native_instances")
+
+from lz4_tpu.api.factory import Lz4Factory, XXHashFactory  # noqa: E402
+from conftest import random_bytes  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiers():
+    return Lz4Factory.safe_instance(), Lz4Factory.native_instance()
+
+
+@pytest.mark.parametrize("length", [0, 1, 13, 100, 5000, 65535, 65547, 100000])
+@pytest.mark.parametrize("alphabet", [1, 4, 256])
+def test_fast_compress_byte_parity(length, alphabet, tiers, rng):
+    safe, nat = tiers
+    data = random_bytes(rng, length, alphabet)
+    assert (nat.fast_compressor().compress_alloc(data)
+            == safe.fast_compressor().compress_alloc(data))
+
+
+@pytest.mark.parametrize("level", [1, 9, 17])
+@pytest.mark.parametrize("length", [0, 100, 5000, 66000])
+def test_hc_compress_byte_parity(level, length, tiers, rng):
+    safe, nat = tiers
+    data = random_bytes(rng, length, 16)
+    assert (nat.high_compressor(level).compress_alloc(data)
+            == safe.high_compressor(level).compress_alloc(data))
+
+
+def test_calgary_byte_parity(tiers, calgary):
+    safe, nat = tiers
+    for name, data in calgary.items():
+        assert (nat.fast_compressor().compress_alloc(data)
+                == safe.fast_compressor().compress_alloc(data)), name
+
+
+def test_cross_decompression(tiers, rng):
+    safe, nat = tiers
+    data = random_bytes(rng, 50000, 8)
+    c = nat.fast_compressor().compress_alloc(data)
+    assert safe.safe_decompressor().decompress_alloc(c, 0, len(c), len(data)) == data
+    assert nat.safe_decompressor().decompress_alloc(c, 0, len(c), len(data)) == data
+    assert nat.fast_decompressor().decompress_alloc(c, 0, len(data)) == data
+
+
+def test_native_malformed_inputs_raise(tiers):
+    _, nat = tiers
+    # ends with match
+    invalid = bytes([96, 42, 43, 44, 45, 46, 47, 5, 0])
+    with pytest.raises(Lz4Error):
+        nat.fast_decompressor().decompress(invalid, 0, bytearray(10), 0, 10)
+    with pytest.raises(Lz4Error):
+        nat.safe_decompressor().decompress(invalid, 0, len(invalid), bytearray(20), 0, 20)
+    # null matchDec must not raise (LZ4Test.testNullMatchDec)
+    ok = bytes([16, 42, 0, 0, 128, 42, 42, 42, 42, 42, 42, 42, 42])
+    nat.fast_decompressor().decompress(ok, 0, bytearray(13), 0, 13)
+    # truncated
+    with pytest.raises(Lz4Error):
+        nat.safe_decompressor().decompress(b"\xf0\x01", 0, 2, bytearray(100), 0, 100)
+
+
+def test_native_dest_too_small(tiers, rng):
+    _, nat = tiers
+    data = random_bytes(rng, 70000, 256)
+    with pytest.raises(Lz4Error):
+        nat.fast_compressor().compress(data, 0, len(data), bytearray(100), 0, 100)
+
+
+def test_native_xxhash_matches_safe(rng):
+    sf = XXHashFactory.safe_instance()
+    nf = XXHashFactory.native_instance()
+    for length in (0, 1, 15, 16, 17, 1000):
+        data = random_bytes(rng, length, 256)
+        for seed in (0, 1, 0x9747B28C):
+            assert (nf.hash32().hash(data, 0, length, seed)
+                    == sf.hash32().hash(data, 0, length, seed))
+            assert (nf.hash64().hash(data, 0, length, seed)
+                    == sf.hash64().hash(data, 0, length, seed))
+
+
+def test_native_streaming_lifecycle(rng):
+    nf = XXHashFactory.native_instance()
+    data = random_bytes(rng, 1000, 256)
+    s = nf.new_streaming_hash32(42)
+    s.update(data)
+    v = s.get_value()
+    s.reset()
+    s.update(data)
+    assert s.get_value() == v
+    s.close()
+    s.close()  # double close is fine
+    with pytest.raises(Lz4Error):
+        s.update(data)  # use after close raises
+    with pytest.raises(Lz4Error):
+        s.get_value()
+
+
+def test_native_streaming_matches_oneshot(rng):
+    nf = XXHashFactory.native_instance()
+    data = random_bytes(rng, 10000, 256)
+    with nf.new_streaming_hash64(7) as s:
+        off = 0
+        while off < len(data):
+            take = min(rng.randrange(1, 97), len(data) - off)
+            s.update(data, off, take)
+            off += take
+        assert s.get_value() == nf.hash64().hash(data, 0, len(data), 7)
+
+
+def test_native_offsets(tiers, rng):
+    _, nat = tiers
+    data = random_bytes(rng, 5000, 8)
+    src = bytes(31) + data
+    dest = bytearray(11 + nat.fast_compressor().max_compressed_length(len(data)))
+    n = nat.fast_compressor().compress(src, 31, len(data), dest, 11, len(dest) - 11)
+    out = bytearray(len(data) + 3)
+    written = nat.safe_decompressor().decompress(dest, 11, n, out, 3, len(data))
+    assert written == len(data)
+    assert bytes(out[3:3 + len(data)]) == data
