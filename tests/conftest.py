@@ -7,12 +7,16 @@ exercises the same GSPMD partitioning paths XLA uses on a real pod slice.
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must run before any backend initializes; the axon TPU plugin ignores the
+# JAX_PLATFORMS env var, so force the platform through the config API too
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import random

@@ -1,0 +1,105 @@
+"""Device-kernel tests (CPU backend / interpret mode): batched JAX codec and
+xxHash kernels vs the scalar reference oracle — the cross-implementation
+differential matrix of SURVEY.md §4.1 applied to the device tier."""
+
+import numpy as np
+import pytest
+
+from lz4_tpu.core.constants import max_compressed_length
+from lz4_tpu.core.lz4_block_ref import compress_fast_alloc, decompress_safe_alloc
+from lz4_tpu.core.xxhash_ref import xxh32, xxh64
+from lz4_tpu.kernels import jax_codec
+from lz4_tpu.kernels.xxhash_jax import xxh32_batch, xxh64_batch_py
+from lz4_tpu.kernels.xxhash_pallas import xxh32_uniform_pallas
+
+from conftest import random_bytes
+
+
+@pytest.fixture(scope="module")
+def blocks(request):
+    import random
+    rng = random.Random(42)
+    out = []
+    for alpha, size in [(1, 100), (4, 1000), (16, 3000), (256, 500),
+                        (2, 0), (8, 13), (3, 64)]:
+        out.append(bytes(rng.randrange(alpha) for _ in range(size)))
+    return out
+
+
+def test_decompress_batch_matches_reference(blocks):
+    comp = [compress_fast_alloc(b) for b in blocks]
+    cmax = max(len(c) for c in comp)
+    omax = max(len(b) for b in blocks)
+    carr, clens = jax_codec.to_device_layout(comp, cmax)
+    out, olens, err = jax_codec.decompress_safe_batch(carr, clens, omax)
+    assert np.asarray(err).tolist() == [0] * len(blocks)
+    assert np.asarray(olens).tolist() == [len(b) for b in blocks]
+    outs = jax_codec.from_device_layout(out, olens)
+    for got, want in zip(outs, blocks):
+        assert got == want
+
+
+def test_decompress_batch_malformed_flags():
+    bad = bytes([96, 42, 43, 44, 45, 46, 47, 5, 0])   # ends with match
+    ok = bytes([16, 42, 0, 0, 128] + [42] * 8)        # null matchDec
+    carr, clens = jax_codec.to_device_layout([bad, ok], 32)
+    out, olens, err = jax_codec.decompress_safe_batch(carr, clens, 20)
+    err = np.asarray(err)
+    assert err[0] != 0       # malformed must be flagged
+    assert err[1] == 0       # null matchDec must NOT be flagged
+
+
+def test_compress_batch_byte_parity(blocks):
+    srcs = blocks
+    l_max = max(len(b) for b in srcs)
+    sarr, slens = jax_codec.to_device_layout(srcs, l_max)
+    dcap = max_compressed_length(l_max)
+    dest, dlens, err = jax_codec.compress_fast_batch(sarr, slens, dcap)
+    assert np.asarray(err).tolist() == [0] * len(srcs)
+    douts = jax_codec.from_device_layout(dest, dlens)
+    for got, src in zip(douts, srcs):
+        assert got == compress_fast_alloc(src)
+
+
+def test_compress_batch_roundtrip_via_reference(blocks, rng):
+    data = random_bytes(rng, 2000, 8)
+    sarr, slens = jax_codec.to_device_layout([data], 2048)
+    dest, dlens, err = jax_codec.compress_fast_batch(
+        sarr, slens, max_compressed_length(2048))
+    assert np.asarray(err)[0] == 0
+    comp = jax_codec.from_device_layout(dest, dlens)[0]
+    assert decompress_safe_alloc(comp, len(data)) == data
+
+
+def test_xxh32_batch_matches_reference(rng):
+    L = 128
+    lens = [0, 1, 4, 15, 16, 17, 31, 64, 127, 128]
+    datas = [random_bytes(rng, ln, 256) + bytes(L - ln) for ln in lens]
+    arr = np.frombuffer(b"".join(datas), np.uint8).reshape(len(lens), L)
+    for seed in (0, 0x9747B28C):
+        h = np.asarray(xxh32_batch(arr, np.array(lens, np.int32), seed))
+        expect = [xxh32(datas[i][:lens[i]], 0, lens[i], seed)
+                  for i in range(len(lens))]
+        assert h.tolist() == expect
+
+
+def test_xxh64_batch_matches_reference(rng):
+    L = 128
+    lens = [0, 1, 7, 8, 31, 32, 33, 36, 40, 100, 128]
+    datas = [random_bytes(rng, ln, 256) + bytes(L - ln) for ln in lens]
+    arr = np.frombuffer(b"".join(datas), np.uint8).reshape(len(lens), L)
+    for seed in (0, 0xDEADBEEFCAFEBABE):
+        h = xxh64_batch_py(arr, np.array(lens, np.int32), seed)
+        expect = [xxh64(datas[i][:lens[i]], 0, lens[i], seed)
+                  for i in range(len(lens))]
+        assert h == expect
+
+
+@pytest.mark.parametrize("L", [32, 64, 256])
+def test_xxh32_pallas_interpret_matches_reference(L, rng):
+    N = 1024
+    raw = random_bytes(rng, N * L, 256)
+    data = np.frombuffer(raw, np.uint8).reshape(N, L)
+    h = np.asarray(xxh32_uniform_pallas(data, 0, interpret=True))
+    expect = [xxh32(data[i].tobytes(), 0, L, 0) for i in range(0, N, 41)]
+    assert h[::41].tolist() == expect
