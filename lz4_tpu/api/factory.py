@@ -45,7 +45,7 @@ class Lz4Factory:
     """Entry point: obtain compressors/decompressors for one tier."""
 
     _instances: dict[str, "Lz4Factory"] = {}
-    _lock = threading.Lock()
+    _lock = threading.RLock()
 
     def __init__(self, impl: str):
         self.impl = impl
@@ -157,7 +157,7 @@ class XXHashFactory:
     """Entry point for xxHash32/64 one-shot and streaming hashes."""
 
     _instances: dict[str, "XXHashFactory"] = {}
-    _lock = threading.Lock()
+    _lock = threading.RLock()
 
     def __init__(self, impl: str):
         self.impl = impl

@@ -118,16 +118,27 @@ def _read_len_ext(src, s, src_end, base_len):
 # decompress (safe variant: exact compressed size known)
 # ---------------------------------------------------------------------------
 
-def _decompress_one(comp, comp_len, out_max: int):
-    """Decode one block. comp: int32[CMAX+PAD]. Returns (out, out_len, err)."""
+def _decompress_one(comp, comp_len, out_max: int, fast: bool = False):
+    """Decode one block. comp: int32[CMAX+PAD].
+
+    Returns (out, out_len, src_read, err). ``fast=False`` implements the
+    Safe-variant contract (exact compressed size; literals must end exactly
+    at src_end), ``fast=True`` the Fast-variant contract (exact decompressed
+    size drives EOF; comp_len is just the available bytes) — mirroring the
+    two template variants (decompress.template:17-47).
+    """
     dest_cap = out_max
     out = jnp.zeros((out_max + PAD,), jnp.int32)
     src_end = comp_len
 
     def empty_case(_):
+        if fast:
+            ok = comp[0] == 0
+            err = jnp.where(ok, OK, ERR_MALFORMED)
+            return out, jnp.int32(0), jnp.int32(1), jnp.int32(err)
         ok = jnp.logical_and(comp_len == 1, comp[0] == 0)
         err = jnp.where(ok, OK, ERR_DEST_TOO_SMALL)
-        return out, jnp.int32(0), jnp.int32(err)
+        return out, jnp.int32(0), jnp.int32(1), jnp.int32(err)
 
     def main_case(_):
         def cond(st):
@@ -148,16 +159,21 @@ def _decompress_one(comp, comp_len, out_max: int):
                 lambda a: a, (s, lit_len))
 
             lit_end = d + lit_len
-            near_end = jnp.logical_or(lit_end > dest_cap - COPY_LENGTH,
-                                      s + lit_len > src_end - COPY_LENGTH)
-            overflow = lit_end > dest_cap
-            not_exact = s + lit_len != src_end
+            if fast:
+                near_end = lit_end > dest_cap - COPY_LENGTH
+                overflow = jnp.array(False)
+                not_exact = lit_end != dest_cap
+            else:
+                near_end = jnp.logical_or(lit_end > dest_cap - COPY_LENGTH,
+                                          s + lit_len > src_end - COPY_LENGTH)
+                overflow = lit_end > dest_cap
+                not_exact = s + lit_len != src_end
+            src_short = s + lit_len > src_end  # reading past available bytes
 
             # EOF literals-only case
             def eof_fn(out):
                 return _copy_forward(out, d, comp, s, lit_len)
-            is_eof = jnp.logical_and(near_end,
-                                     jnp.logical_not(jnp.logical_or(overflow, not_exact)))
+            is_eof = near_end & jnp.logical_not(overflow | not_exact | src_short)
             out = lax.cond(is_eof | jnp.logical_not(near_end),
                            lambda o: _copy_forward(o, d, comp, s, lit_len),
                            lambda o: o, out)
@@ -165,7 +181,9 @@ def _decompress_one(comp, comp_len, out_max: int):
             err_now = jnp.where(
                 bad_src, ERR_MALFORMED,
                 jnp.where(near_end & overflow, ERR_DEST_TOO_SMALL,
-                          jnp.where(near_end & not_exact, ERR_MALFORMED, OK)))
+                          jnp.where(near_end & not_exact, ERR_MALFORMED,
+                                    jnp.where(near_end & src_short,
+                                              ERR_MALFORMED, OK))))
 
             s = s + lit_len
             d = lit_end
@@ -210,14 +228,14 @@ def _decompress_one(comp, comp_len, out_max: int):
         d0 = jnp.int32(0)
         s, d, out_f, err, _ = lax.while_loop(
             cond, body, (s0, d0, out, jnp.int32(OK), jnp.array(False)))
-        return out_f, d, err
+        return out_f, d, s, err
 
     return lax.cond(dest_cap == 0, empty_case, main_case, operand=None)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max",))
 def decompress_safe_batch(comp, comp_lens, out_max: int):
-    """Batched safe decompression.
+    """Batched safe decompression (exact compressed size known).
 
     Args:
       comp: int32[N, CMAX + PAD] compressed bytes, one byte per element.
@@ -227,7 +245,27 @@ def decompress_safe_batch(comp, comp_lens, out_max: int):
     Returns:
       (out int32[N, out_max + PAD], out_lens int32[N], err int32[N]).
     """
-    return jax.vmap(lambda c, l: _decompress_one(c, l, out_max))(comp, comp_lens)
+    out, out_lens, _, err = jax.vmap(
+        lambda c, l: _decompress_one(c, l, out_max))(comp, comp_lens)
+    return out, out_lens, err
+
+
+@functools.partial(jax.jit, static_argnames=("dest_len",))
+def decompress_fast_batch(comp, comp_avail, dest_len: int):
+    """Batched fast decompression (exact decompressed size known).
+
+    Args:
+      comp: int32[N, CMAX + PAD] compressed bytes.
+      comp_avail: int32[N] bytes available in each row (not necessarily the
+        exact compressed length — the Fast contract's point).
+      dest_len: static exact decompressed size of every block.
+
+    Returns:
+      (out int32[N, dest_len + PAD], src_read int32[N], err int32[N]).
+    """
+    out, _, src_read, err = jax.vmap(
+        lambda c, l: _decompress_one(c, l, dest_len, fast=True))(comp, comp_avail)
+    return out, src_read, err
 
 
 # ---------------------------------------------------------------------------
