@@ -1,0 +1,198 @@
+"""Data-parallel sharded codec: blocks over chips via ``shard_map``.
+
+The TPU-native equivalent of the parallelism the reference never needed
+(SURVEY.md §2.6): independent LZ4 blocks are sharded along the 1-D
+``"blocks"`` mesh axis, every device runs the batched device codec on its
+shard (no cross-device traffic in the hot loop), and the only collectives
+are an ``all_gather`` of per-block compressed lengths for exclusive-scan
+output packing and the implicit ordered gather when results are pulled into
+the frame assembler. Shardings are expressed with ``NamedSharding`` +
+``shard_map`` so XLA places the collectives on ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.constants import max_compressed_length
+from ..kernels import jax_codec
+from ..kernels.xxhash_jax import xxh32_batch
+from .mesh import BLOCK_AXIS, block_mesh
+
+
+def _pad_blocks(n: int, n_dev: int) -> int:
+    return ((n + n_dev - 1) // n_dev) * n_dev
+
+
+@functools.partial(jax.jit, static_argnames=("dest_cap", "mesh"))
+def _compress_sharded(data, lens, dest_cap: int, mesh):
+    fn = shard_map(
+        lambda d, l: jax_codec.compress_fast_batch(d, l, dest_cap),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_rep=False,
+    )
+    return fn(data, lens)
+
+
+@functools.partial(jax.jit, static_argnames=("out_max", "mesh"))
+def _decompress_sharded(comp, comp_lens, out_max: int, mesh):
+    fn = shard_map(
+        lambda c, l: jax_codec.decompress_safe_batch(c, l, out_max),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_rep=False,
+    )
+    return fn(comp, comp_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("seed", "mesh"))
+def _xxh32_sharded(data, lens, seed: int, mesh):
+    fn = shard_map(
+        lambda d, l: xxh32_batch(d, l, seed),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_rep=False,
+    )
+    return fn(data, lens)
+
+
+def pack_offsets(comp_lens):
+    """Exclusive prefix sum of per-block compressed lengths.
+
+    Device-side scan giving each block its byte offset in the packed output;
+    under a sharded ``jit`` XLA lowers the cumsum to an ICI collective scan.
+    """
+    return jnp.cumsum(comp_lens) - comp_lens
+
+
+def shard_compress_blocks(blocks: list[bytes], mesh=None):
+    """Compress independent blocks data-parallel over the mesh.
+
+    Returns list[bytes] in original order (ordered gather).
+    """
+    if not blocks:
+        return []
+    mesh = mesh or block_mesh()
+    n_dev = mesh.devices.size
+    cap = max(4, (max(len(b) for b in blocks) + 3) & ~3)
+    n_padded = _pad_blocks(len(blocks), n_dev)
+    padded = blocks + [b""] * (n_padded - len(blocks))
+    arr, lens = jax_codec.to_device_layout(padded, cap)
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    arr = jax.device_put(arr, sharding)
+    lens = jax.device_put(lens, NamedSharding(mesh, P(BLOCK_AXIS)))
+    out, out_lens, err = _compress_sharded(arr, lens, max_compressed_length(cap), mesh)
+    if np.asarray(err).any():
+        from ..core.errors import Lz4Error
+        raise Lz4Error("sharded compression failed")
+    return jax_codec.from_device_layout(out, out_lens)[:len(blocks)]
+
+
+def shard_decompress_blocks(blocks: list[bytes], out_max: int, mesh=None):
+    """Decompress independent blocks data-parallel over the mesh."""
+    if not blocks:
+        return []
+    mesh = mesh or block_mesh()
+    n_dev = mesh.devices.size
+    cap = max(4, (max(len(b) for b in blocks) + 3) & ~3)
+    n_padded = _pad_blocks(len(blocks), n_dev)
+    padded = blocks + [b"\x00"] * (n_padded - len(blocks))
+    arr, lens = jax_codec.to_device_layout(padded, cap)
+    arr = jax.device_put(arr, NamedSharding(mesh, P(BLOCK_AXIS, None)))
+    lens = jax.device_put(lens, NamedSharding(mesh, P(BLOCK_AXIS)))
+    out, out_lens, err = _decompress_sharded(arr, lens, out_max, mesh)
+    if np.asarray(err)[:len(blocks)].any():
+        from ..core.errors import Lz4Error
+        raise Lz4Error("sharded decompression failed")
+    return jax_codec.from_device_layout(out, out_lens)[:len(blocks)]
+
+
+def shard_xxh32(data, lens, seed: int = 0, mesh=None):
+    """Sharded batched xxh32 (uint8[N, L] + lengths -> uint32[N])."""
+    mesh = mesh or block_mesh()
+    data = jax.device_put(data, NamedSharding(mesh, P(BLOCK_AXIS, None)))
+    lens = jax.device_put(lens, NamedSharding(mesh, P(BLOCK_AXIS)))
+    return _xxh32_sharded(data, lens, seed, mesh)
+
+
+def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
+                           mesh=None, content_checksum: bool = True) -> bytes:
+    """Compress a byte string into a standard LZ4 frame, blocks sharded
+    over the mesh: device compress + device block prep, host-ordered
+    assembly into a byte-exact frame readable by any LZ4 frame reader."""
+    import struct
+    from ..formats.frame import (
+        BlockSize, FrameFlag, INCOMPRESSIBLE_MASK, MAGIC, _flg_to_byte)
+    from ..core.xxhash_ref import xxh32, StreamingXXH32
+
+    size_enum = {1 << 16: BlockSize.SIZE_64KB, 1 << 18: BlockSize.SIZE_256KB,
+                 1 << 20: BlockSize.SIZE_1MB, 1 << 22: BlockSize.SIZE_4MB}
+    if block_size not in size_enum:
+        raise ValueError("block_size must be one of 64KB/256KB/1MB/4MB")
+    blocks = [data[i:i + block_size] for i in range(0, len(data), block_size)]
+
+    compressed = shard_compress_blocks(blocks, mesh) if blocks else []
+
+    flags = {FrameFlag.BLOCK_INDEPENDENCE}
+    if content_checksum:
+        flags.add(FrameFlag.CONTENT_CHECKSUM)
+    out = bytearray()
+    desc = bytes([_flg_to_byte(frozenset(flags)),
+                  (size_enum[block_size].value & 7) << 4])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    out += struct.pack("<I", MAGIC) + desc + bytes([hc])
+
+    for raw, comp in zip(blocks, compressed):
+        if len(comp) >= len(raw):
+            out += struct.pack("<I", len(raw) | INCOMPRESSIBLE_MASK) + raw
+        else:
+            out += struct.pack("<I", len(comp)) + comp
+    out += struct.pack("<I", 0)
+    if content_checksum:
+        s = StreamingXXH32(0)
+        s.update(data)
+        out += struct.pack("<I", s.get_value())
+    return bytes(out)
+
+
+def sharded_roundtrip_step(mesh, n_blocks_per_dev: int = 2, block_len: int = 256):
+    """One full sharded step — compress, hash, pack-scan, decompress, verify —
+    jitted over the mesh. Used by ``dryrun_multichip`` to validate that the
+    multi-chip program compiles and runs.
+
+    Returns (ok: bool array, compressed_total: int) after device execution.
+    """
+    n_dev = mesh.devices.size
+    n = n_dev * n_blocks_per_dev
+    rng = np.random.default_rng(0)
+    # compressible blocks
+    base = rng.integers(0, 4, (n, block_len), dtype=np.uint8)
+    blocks = [base[i].tobytes() for i in range(n)]
+    arr, lens = jax_codec.to_device_layout(blocks, block_len)
+    arr = jax.device_put(arr, NamedSharding(mesh, P(BLOCK_AXIS, None)))
+    lens = jax.device_put(lens, NamedSharding(mesh, P(BLOCK_AXIS)))
+    dest_cap = max_compressed_length(block_len)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(arr, lens):
+        comp, comp_lens, cerr = _compress_sharded(arr, lens, dest_cap, mesh)
+        offsets = pack_offsets(comp_lens)          # global exclusive scan
+        hashes = _xxh32_sharded(
+            arr.astype(jnp.uint8), lens, 0, mesh)  # device checksums
+        out, out_lens, derr = _decompress_sharded(comp, comp_lens, block_len, mesh)
+        ok = ((cerr == 0) & (derr == 0) & (out_lens == lens)
+              & jnp.all(out[:, :block_len] == arr[:, :block_len], axis=1))
+        return ok, comp_lens.sum(), offsets, hashes
+
+    ok, total, offsets, hashes = step(arr, lens)
+    return np.asarray(ok), int(total)

@@ -552,6 +552,51 @@ TPULZ4_API int tpulz4_compress_hc(const uint8_t* src, int src_len,
   return d;
 }
 
+
+// wild copy: 8/16-byte strided copies with overrun allowed inside the
+// guarded region (callers ensure >= COPY_LENGTH slack or exact tail)
+static inline void wild_copy8(uint8_t* dst, const uint8_t* src, int len) {
+  uint8_t* d = dst;
+  const uint8_t* s = src;
+  uint8_t* end = dst + len;
+  do {
+    std::memcpy(d, s, 8);
+    d += 8;
+    s += 8;
+  } while (d < end);
+}
+
+// overlap-aware match copy with the small-distance expansion trick:
+// duplicate the pattern until the distance is >= 8, then wild-copy
+static inline void match_copy(uint8_t* dest, int match_off, int d, int dist,
+                              int match_len, int dest_end) {
+  uint8_t* dst = dest + d;
+  const uint8_t* srcp = dest + match_off;
+  if (d + match_len + 8 <= dest_end && dist >= 8) {
+    wild_copy8(dst, srcp, match_len);
+    return;
+  }
+  if (dist >= match_len) {  // disjoint regions: plain copy is exact
+    std::memcpy(dst, srcp, (size_t)match_len);
+    return;
+  }
+  if (dist >= 8) {          // overlapping, no wild slack: exact 8B strides
+    int pos = 0;
+    for (; pos + 8 <= match_len; pos += 8) std::memcpy(dst + pos, srcp + pos, 8);
+    for (; pos < match_len; ++pos) dst[pos] = srcp[pos];
+    return;
+  }
+  // dist in [1, 8): seed one period, then double from the output itself
+  int pos = 0;
+  int seed = dist < match_len ? dist : match_len;
+  for (; pos < seed; ++pos) dst[pos] = srcp[pos];
+  while (pos < match_len) {
+    int chunk = pos < match_len - pos ? pos : match_len - pos;
+    std::memcpy(dst + pos, dst, (size_t)chunk);
+    pos += chunk;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // decompressors
 // ---------------------------------------------------------------------------
@@ -559,6 +604,7 @@ TPULZ4_API int tpulz4_compress_hc(const uint8_t* src, int src_len,
 TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
                                       uint8_t* dest, int dest_len) {
   if (src_len < 0 || dest_len < 0) return TPULZ4_E_PARAM;
+  const int src_len_avail = src_len;
   if (dest_len == 0) {
     if (src_len != 1 || src[0] != 0) return TPULZ4_E_MALFORMED;
     return 0;
@@ -591,7 +637,12 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
       d = literal_copy_end;
       break;  // EOF
     }
-    std::memcpy(dest + d, src + s, literal_len);
+    if (literal_len > 0 && d + literal_len + 8 <= dest_end &&
+        s + literal_len + 8 <= src_len_avail) {
+      wild_copy8(dest + d, src + s, literal_len);
+    } else {
+      std::memcpy(dest + d, src + s, literal_len);
+    }
     s += literal_len;
     d = literal_copy_end;
 
@@ -614,10 +665,8 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
 
     int match_copy_end = d + match_len;
     if (match_copy_end > dest_end) return TPULZ4_E_MALFORMED;
-    if (match_dec >= 8 && match_dec >= match_len) {
-      std::memcpy(dest + d, dest + match_off, (size_t)match_len);
-    } else {
-      for (int i = 0; i < match_len; ++i) dest[d + i] = dest[match_off + i];
+    if (match_dec != 0) {
+      match_copy(dest, match_off, d, match_dec, match_len, dest_end);
     }
     d = match_copy_end;
   }
@@ -627,6 +676,7 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
 TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
                                       uint8_t* dest, int dest_len) {
   if (src_avail <= 0 || dest_len < 0) return TPULZ4_E_PARAM;
+  const int src_len_avail = src_avail;
   if (dest_len == 0) {
     if (src[0] != 0) return TPULZ4_E_MALFORMED;
     return 1;
@@ -659,7 +709,12 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
       break;  // EOF
     }
     if (s + literal_len + 2 > src_avail) return TPULZ4_E_MALFORMED;
-    std::memcpy(dest + d, src + s, literal_len);
+    if (literal_len > 0 && d + literal_len + 8 <= dest_end &&
+        s + literal_len + 8 <= src_len_avail) {
+      wild_copy8(dest + d, src + s, literal_len);
+    } else {
+      std::memcpy(dest + d, src + s, literal_len);
+    }
     s += literal_len;
     d = literal_copy_end;
 
@@ -681,10 +736,8 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
 
     int match_copy_end = d + match_len;
     if (match_copy_end > dest_end) return TPULZ4_E_MALFORMED;
-    if (match_dec >= 8 && match_dec >= match_len) {
-      std::memcpy(dest + d, dest + match_off, (size_t)match_len);
-    } else {
-      for (int i = 0; i < match_len; ++i) dest[d + i] = dest[match_off + i];
+    if (match_dec != 0) {
+      match_copy(dest, match_off, d, match_dec, match_len, dest_end);
     }
     d = match_copy_end;
   }
