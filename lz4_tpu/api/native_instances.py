@@ -133,6 +133,81 @@ class SafeDecompressor(Lz4SafeDecompressor):
         return n
 
 
+def compress_fast_batch(blocks, n_threads=None):
+    """Compress many blocks via the multithreaded C++ batch entry point.
+
+    Host-side data-plane counterpart of the device batch API: one contiguous
+    packed source buffer, per-block offsets, worker threads striding the
+    block list (tpulz4_compress_fast_batch).
+    """
+    import os
+    import numpy as np
+    if not blocks:
+        return []
+    n = len(blocks)
+    n_threads = n_threads or min(os.cpu_count() or 1, n)
+    src = b"".join(blocks)
+    src_offsets = np.zeros(n, np.int64)
+    src_lens = np.zeros(n, np.int32)
+    pos = 0
+    for i, b in enumerate(blocks):
+        src_offsets[i] = pos
+        src_lens[i] = len(b)
+        pos += len(b)
+    cap = max_compressed_length(int(src_lens.max()) if n else 0)
+    dest = bytearray(n * cap)
+    dest_offsets = (np.arange(n, dtype=np.int64) * cap)
+    out_lens = np.zeros(n, np.int32)
+    s_addr, s_keep = _base_addr(src)
+    d_addr, d_keep = _wbase_addr(dest)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.tpulz4_compress_fast_batch(
+        _ptr(s_addr, 0), src_offsets.ctypes.data_as(_i64p),
+        src_lens.ctypes.data_as(_i32p), _ptr(d_addr, 0),
+        dest_offsets.ctypes.data_as(_i64p), cap,
+        out_lens.ctypes.data_as(_i32p), n, n_threads)
+    del s_keep, d_keep
+    if (out_lens < 0).any():
+        _raise_error(int(out_lens[out_lens < 0][0]), "compress_fast_batch")
+    return [bytes(dest[i * cap:i * cap + int(out_lens[i])]) for i in range(n)]
+
+
+def decompress_safe_batch(blocks, out_max, n_threads=None):
+    """Decompress many blocks via the multithreaded C++ batch entry point."""
+    import os
+    import numpy as np
+    if not blocks:
+        return []
+    n = len(blocks)
+    n_threads = n_threads or min(os.cpu_count() or 1, n)
+    src = b"".join(blocks)
+    src_offsets = np.zeros(n, np.int64)
+    src_lens = np.zeros(n, np.int32)
+    pos = 0
+    for i, b in enumerate(blocks):
+        src_offsets[i] = pos
+        src_lens[i] = len(b)
+        pos += len(b)
+    dest = bytearray(n * out_max)
+    dest_offsets = (np.arange(n, dtype=np.int64) * out_max)
+    out_lens = np.zeros(n, np.int32)
+    s_addr, s_keep = _base_addr(src)
+    d_addr, d_keep = _wbase_addr(dest)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.tpulz4_decompress_safe_batch(
+        _ptr(s_addr, 0), src_offsets.ctypes.data_as(_i64p),
+        src_lens.ctypes.data_as(_i32p), _ptr(d_addr, 0),
+        dest_offsets.ctypes.data_as(_i64p), out_max,
+        out_lens.ctypes.data_as(_i32p), n, n_threads)
+    del s_keep, d_keep
+    if (out_lens < 0).any():
+        _raise_error(int(out_lens[out_lens < 0][0]), "decompress_safe_batch")
+    return [bytes(dest[i * out_max:i * out_max + int(out_lens[i])])
+            for i in range(n)]
+
+
 def _s32(v: int) -> int:
     v &= 0xFFFFFFFF
     return v - (1 << 32) if v >= (1 << 31) else v
