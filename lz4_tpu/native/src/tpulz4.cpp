@@ -61,6 +61,11 @@ inline uint32_t hash_hc(uint32_t v) { return (v * HASH_MULT) >> (32 - HASH_LOG_H
 
 inline int common_bytes(const uint8_t* b, int o1, int o2, int limit) {
   int count = 0;
+  while (o2 + count + 8 <= limit) {
+    uint64_t x = read64(b + o1 + count) ^ read64(b + o2 + count);
+    if (x) return count + (__builtin_ctzll(x) >> 3);
+    count += 8;
+  }
   while (o2 + count < limit && b[o1 + count] == b[o2 + count]) ++count;
   return count;
 }
@@ -566,16 +571,32 @@ static inline void wild_copy8(uint8_t* dst, const uint8_t* src, int len) {
   } while (d < end);
 }
 
+static inline void wild_copy16(uint8_t* dst, const uint8_t* src, int len) {
+  uint8_t* d = dst;
+  const uint8_t* s = src;
+  uint8_t* end = dst + len;
+  do {
+    std::memcpy(d, s, 16);
+    d += 16;
+    s += 16;
+  } while (d < end);
+}
+
 // overlap-aware match copy with the small-distance expansion trick:
 // duplicate the pattern until the distance is >= 8, then wild-copy
 static inline void match_copy(uint8_t* dest, int match_off, int d, int dist,
                               int match_len, int dest_end) {
   uint8_t* dst = dest + d;
   const uint8_t* srcp = dest + match_off;
+  if (d + match_len + 16 <= dest_end && dist >= 16) {
+    wild_copy16(dst, srcp, match_len);
+    return;
+  }
   if (d + match_len + 8 <= dest_end && dist >= 8) {
     wild_copy8(dst, srcp, match_len);
     return;
   }
+
   if (dist >= match_len) {  // disjoint regions: plain copy is exact
     std::memcpy(dst, srcp, (size_t)match_len);
     return;
@@ -637,9 +658,9 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
       d = literal_copy_end;
       break;  // EOF
     }
-    if (literal_len > 0 && d + literal_len + 8 <= dest_end &&
-        s + literal_len + 8 <= src_len_avail) {
-      wild_copy8(dest + d, src + s, literal_len);
+    if (literal_len > 0 && d + literal_len + 16 <= dest_end &&
+        s + literal_len + 16 <= src_len_avail) {
+      wild_copy16(dest + d, src + s, literal_len);
     } else {
       std::memcpy(dest + d, src + s, literal_len);
     }
@@ -709,9 +730,9 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
       break;  // EOF
     }
     if (s + literal_len + 2 > src_avail) return TPULZ4_E_MALFORMED;
-    if (literal_len > 0 && d + literal_len + 8 <= dest_end &&
-        s + literal_len + 8 <= src_len_avail) {
-      wild_copy8(dest + d, src + s, literal_len);
+    if (literal_len > 0 && d + literal_len + 16 <= dest_end &&
+        s + literal_len + 16 <= src_len_avail) {
+      wild_copy16(dest + d, src + s, literal_len);
     } else {
       std::memcpy(dest + d, src + s, literal_len);
     }
