@@ -103,3 +103,39 @@ def test_xxh32_pallas_interpret_matches_reference(L, rng):
     h = np.asarray(xxh32_uniform_pallas(data, 0, interpret=True))
     expect = [xxh32(data[i].tobytes(), 0, L, 0) for i in range(0, N, 41)]
     assert h[::41].tolist() == expect
+
+
+@pytest.mark.parametrize("case", ["text", "repetitive", "zeros", "incompressible"])
+def test_lz4_pallas_decompress_interpret(case, rng):
+    from lz4_tpu.kernels.lz4_pallas import decompress_safe_pallas, PAD as KPAD
+    data = {
+        "text": random_bytes(rng, 3000, 8),
+        "repetitive": b"abc" * 1000,
+        "zeros": bytes(2500),
+        "incompressible": random_bytes(rng, 1500, 256),
+    }[case]
+    comp = compress_fast_alloc(data)
+    carr = np.zeros((1, len(comp) + KPAD), np.int32)
+    carr[0, :len(comp)] = np.frombuffer(comp, np.uint8)
+    out, olens, err = decompress_safe_pallas(
+        carr, np.array([len(comp)], np.int32), len(data), interpret=True)
+    assert int(np.asarray(err)[0]) == 0
+    assert int(np.asarray(olens)[0]) == len(data)
+    got = np.asarray(out)[0, :len(data)].astype(np.uint8).tobytes()
+    assert got == data
+
+
+def test_lz4_pallas_decompress_malformed_interpret():
+    from lz4_tpu.kernels.lz4_pallas import decompress_safe_pallas, PAD as KPAD
+    bad = bytes([96, 42, 43, 44, 45, 46, 47, 5, 0])
+    carr = np.zeros((1, 16 + KPAD), np.int32)
+    carr[0, :len(bad)] = np.frombuffer(bad, np.uint8)
+    out, olens, err = decompress_safe_pallas(
+        carr, np.array([len(bad)], np.int32), 20, interpret=True)
+    assert int(np.asarray(err)[0]) != 0
+    ok = bytes([16, 42, 0, 0, 128] + [42] * 8)
+    carr2 = np.zeros((1, 16 + KPAD), np.int32)
+    carr2[0, :len(ok)] = np.frombuffer(ok, np.uint8)
+    out, olens, err = decompress_safe_pallas(
+        carr2, np.array([len(ok)], np.int32), 20, interpret=True)
+    assert int(np.asarray(err)[0]) == 0
