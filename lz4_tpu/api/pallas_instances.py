@@ -7,11 +7,9 @@ one-block-at-a-time methods satisfy the common factory contract by running a
 batch of one, which is correct but latency-bound — exactly the trade the
 reference's JNI tier makes for tiny inputs vs call overhead.
 
-``HighCompressor`` delegates to the fastest host tier for now: the reference
-itself uses cross-tier delegation where an implementation doesn't fit
-(LZ4JNICompressor falls back to the safe instance for heap ByteBuffers,
-``LZ4JNICompressor.java:74-79``); a device-resident HC match finder is
-tracked as follow-up work.
+All four codec roles run on device, including HC (kernels/jax_hc.py — the
+lazy 3-match optimizer as a jitted phase machine with the chained match
+finder in dense device arrays).
 """
 
 from __future__ import annotations
@@ -71,26 +69,40 @@ class FastCompressor(Lz4Compressor):
 
 
 class HighCompressor(Lz4Compressor):
-    """Delegates to the fastest host tier (see module docstring)."""
+    """Device HC: the chained-match lazy optimizer as a jitted phase machine
+    (kernels/jax_hc.py); byte-identical output to the host tiers."""
 
     def __init__(self, level: int = DEFAULT_COMPRESSION_LEVEL):
         self.level = level
-        self._delegate = None
-
-    def _backing(self):
-        if self._delegate is None:
-            from .factory import Lz4Factory
-            for ctor in (Lz4Factory.native_instance, Lz4Factory.safe_instance):
-                try:
-                    self._delegate = ctor().high_compressor(self.level)
-                    break
-                except Exception:
-                    continue
-        return self._delegate
 
     def compress(self, src, src_off, src_len, dest, dest_off, max_dest_len):
-        return self._backing().compress(src, src_off, src_len, dest, dest_off,
-                                        max_dest_len)
+        from ..kernels.jax_hc import compress_hc_batch
+        _check_range(src, src_off, src_len)
+        _check_range(dest, dest_off, max_dest_len)
+        block = bytes(src[src_off:src_off + src_len])
+        arr, lens = jax_codec.to_device_layout([block], _pad4(src_len))
+        out, out_lens, err = compress_hc_batch(
+            arr, lens, max_compressed_length(_pad4(src_len)), self.level)
+        if int(np.asarray(err)[0]) == jax_codec.ERR_DEST_TOO_SMALL:
+            raise Lz4Error("maxDestLen is too small")
+        n = int(np.asarray(out_lens)[0])
+        if n > max_dest_len:
+            raise Lz4Error("maxDestLen is too small")
+        data = jax_codec.from_device_layout(out, out_lens)[0]
+        dest[dest_off:dest_off + n] = data
+        return n
+
+    def compress_batch(self, blocks: list[bytes]):
+        from ..kernels.jax_hc import compress_hc_batch
+        if not blocks:
+            return []
+        cap = _pad4(max(len(b) for b in blocks))
+        arr, lens = jax_codec.to_device_layout(blocks, cap)
+        out, out_lens, err = compress_hc_batch(
+            arr, lens, max_compressed_length(cap), self.level)
+        if np.asarray(err).any():
+            raise Lz4Error("device HC compression failed")
+        return jax_codec.from_device_layout(out, out_lens)
 
     def __repr__(self):
         return f"{type(self).__name__}(level={self.level})"

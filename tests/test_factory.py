@@ -41,7 +41,7 @@ def test_cross_tier_roundtrip_matrix(rng):
             factories.append(ctor())
         except Exception:
             pass
-    data = bytes(rng.randrange(16) for _ in range(20000))
+    data = bytes(rng.randrange(16) for _ in range(1500))
     compressed = []
     for f in factories:
         compressed.append(f.fast_compressor().compress_alloc(data))
