@@ -1,0 +1,240 @@
+"""Streaming frame pipeline: chunked file IO feeding batched codec engines.
+
+The host side of the TPU data plane (SURVEY.md §7 T4): input streams are cut
+into frame blocks, queued into large batches, compressed/decompressed by a
+pluggable *batch engine* (multithreaded C++, device kernels, or the sharded
+mesh pipeline), and re-emitted as standard LZ4 frames in order. The frame
+bytes produced are identical to the one-block-at-a-time writer
+(formats/frame.py) because blocks are independent (BLOCK_INDEPENDENCE,
+``LZ4FrameOutputStream.java:58``).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+from ..core.errors import Lz4FrameError
+from ..core.xxhash_ref import StreamingXXH32, xxh32
+from ..formats.frame import (
+    BlockSize, FrameFlag, INCOMPRESSIBLE_MASK, MAGIC, MAGIC_SKIPPABLE_BASE,
+    _bd_from_byte, _flg_from_byte, _flg_to_byte,
+)
+
+_U32 = struct.Struct("<I")
+_U64 = struct.Struct("<Q")
+
+
+class BatchEngine:
+    """A pair of batched block codecs: list[bytes] -> list[bytes]."""
+
+    def __init__(self, name, compress_batch, decompress_batch):
+        self.name = name
+        self.compress_batch = compress_batch
+        self.decompress_batch = decompress_batch
+
+    def __repr__(self):
+        return f"BatchEngine({self.name})"
+
+
+def get_engine(name: str = "fastest") -> BatchEngine:
+    """Engines: 'native' (C++ threads), 'pallas' (device kernels),
+    'sharded' (device mesh), 'safe' (reference), 'fastest' (first working)."""
+    if name == "fastest":
+        for cand in ("native", "safe"):
+            try:
+                return get_engine(cand)
+            except Exception:
+                continue
+        raise Lz4FrameError("no batch engine available")
+    if name == "native":
+        from ..api import native_instances as ni
+        return BatchEngine(
+            "native",
+            ni.compress_fast_batch,
+            lambda blocks, out_max: ni.decompress_safe_batch(blocks, out_max))
+    if name == "pallas":
+        from ..api.factory import Lz4Factory
+        f = Lz4Factory.pallas_instance()
+        return BatchEngine(
+            "pallas",
+            f.fast_compressor().compress_batch,
+            f.safe_decompressor().decompress_batch)
+    if name == "sharded":
+        from ..dist import shard_compress_blocks, shard_decompress_blocks
+        return BatchEngine(
+            "sharded",
+            shard_compress_blocks,
+            shard_decompress_blocks)
+    if name == "safe":
+        from ..api.factory import Lz4Factory
+        f = Lz4Factory.safe_instance()
+
+        def comp(blocks):
+            return [f.fast_compressor().compress_alloc(b) for b in blocks]
+
+        def decomp(blocks, out_max):
+            return [f.safe_decompressor().decompress_alloc(b, 0, len(b), out_max)
+                    for b in blocks]
+
+        return BatchEngine("safe", comp, decomp)
+    raise ValueError(f"unknown engine {name!r}")
+
+
+def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
+                    engine: BatchEngine | str = "fastest",
+                    content_checksum: bool = True,
+                    batch_blocks: int = 256) -> int:
+    """Compress a binary stream into an LZ4 frame on ``dst``.
+
+    Reads ``batch_blocks`` blocks at a time and compresses them as one batch
+    through the engine. Returns the number of compressed bytes written.
+    """
+    if isinstance(engine, str):
+        engine = get_engine(engine)
+    bs = block_size.num_bytes
+    flags = {FrameFlag.BLOCK_INDEPENDENCE}
+    if content_checksum:
+        flags.add(FrameFlag.CONTENT_CHECKSUM)
+
+    desc = bytes([_flg_to_byte(frozenset(flags)),
+                  (block_size.value & 7) << 4])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    written = 0
+
+    def w(data):
+        nonlocal written
+        dst.write(data)
+        written += len(data)
+
+    w(_U32.pack(MAGIC) + desc + bytes([hc]))
+    content_hash = StreamingXXH32(0) if content_checksum else None
+
+    while True:
+        blocks = []
+        while len(blocks) < batch_blocks:
+            chunk = src.read(bs)
+            if not chunk:
+                break
+            while 0 < len(chunk) < bs:
+                more = src.read(bs - len(chunk))
+                if not more:
+                    break
+                chunk += more
+            blocks.append(chunk)
+            if len(chunk) < bs:
+                break
+        if not blocks:
+            break
+        compressed = engine.compress_batch(blocks)
+        for raw, comp in zip(blocks, compressed):
+            if content_hash is not None:
+                content_hash.update(raw)
+            if len(comp) >= len(raw):
+                w(_U32.pack(len(raw) | INCOMPRESSIBLE_MASK))
+                w(raw)
+            else:
+                w(_U32.pack(len(comp)))
+                w(comp)
+        if len(blocks[-1]) < bs:
+            break
+
+    w(_U32.pack(0))
+    if content_hash is not None:
+        w(_U32.pack(content_hash.get_value()))
+    return written
+
+
+def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
+                      batch_blocks: int = 256) -> int:
+    """Decode LZ4 frames (concatenated, with skippables) from ``src`` into
+    ``dst``; block payloads are decompressed in engine batches. Returns the
+    number of decompressed bytes written."""
+    if isinstance(engine, str):
+        engine = get_engine(engine)
+    written = 0
+
+    def read_exact(n, eof_ok=False):
+        data = src.read(n)
+        while data is not None and 0 < len(data) < n:
+            more = src.read(n - len(data))
+            if not more:
+                break
+            data += more
+        if not data and eof_ok:
+            return None
+        if data is None or len(data) < n:
+            raise Lz4FrameError("Stream ended prematurely")
+        return data
+
+    first = True
+    while True:
+        word = read_exact(4, eof_ok=not first)
+        if word is None:
+            break
+        magic = _U32.unpack(word)[0]
+        if (magic >> 4) == (MAGIC_SKIPPABLE_BASE >> 4):
+            skip = _U32.unpack(read_exact(4))[0]
+            read_exact(skip)
+            first = False
+            continue
+        if magic != MAGIC:
+            raise Lz4FrameError("Stream unsupported (not an LZ4 frame)")
+        first = False
+
+        desc = bytearray(read_exact(2))
+        flags = _flg_from_byte(desc[0])
+        bsz = _bd_from_byte(desc[1])
+        expected_size = -1
+        if FrameFlag.CONTENT_SIZE in flags:
+            raw8 = read_exact(8)
+            desc += raw8
+            expected_size = _U64.unpack(raw8)[0]
+        hc = read_exact(1)[0]
+        if ((xxh32(bytes(desc)) >> 8) & 0xFF) != hc:
+            raise Lz4FrameError("Frame header checksum mismatch")
+
+        content_hash = (StreamingXXH32(0)
+                        if FrameFlag.CONTENT_CHECKSUM in flags else None)
+        bs = bsz.num_bytes
+        total = 0
+        pending: list[tuple[bool, bytes]] = []
+
+        def flush_pending():
+            nonlocal written, total
+            comp_blocks = [p for is_c, p in pending if is_c]
+            decomp = iter(engine.decompress_batch(comp_blocks, bs)
+                          if comp_blocks else [])
+            for is_c, payload in pending:
+                raw = next(decomp) if is_c else payload
+                if content_hash is not None:
+                    content_hash.update(raw)
+                dst.write(raw)
+                written += len(raw)
+                total += len(raw)
+            pending.clear()
+
+        while True:
+            size_word = _U32.unpack(read_exact(4))[0]
+            compressed = (size_word & INCOMPRESSIBLE_MASK) == 0
+            block_size = size_word & ~INCOMPRESSIBLE_MASK
+            if block_size == 0:
+                flush_pending()
+                if content_hash is not None:
+                    expect = _U32.unpack(read_exact(4))[0]
+                    if expect != (content_hash.get_value() & 0xFFFFFFFF):
+                        raise Lz4FrameError("Content checksum mismatch")
+                if 0 <= expected_size != total:
+                    raise Lz4FrameError("Size check mismatch")
+                break
+            if block_size > bs:
+                raise Lz4FrameError(f"Block size {block_size} exceeded max: {bs}")
+            payload = read_exact(block_size)
+            if FrameFlag.BLOCK_CHECKSUM in flags:
+                expect = _U32.unpack(read_exact(4))[0]
+                if expect != xxh32(payload):
+                    raise Lz4FrameError("Block checksum mismatch")
+            pending.append((compressed, payload))
+            if len(pending) >= batch_blocks:
+                flush_pending()
+    return written
