@@ -128,6 +128,16 @@ class Lz4Factory:
     def safe_decompressor(self) -> Lz4SafeDecompressor:
         return self._safe_decompressor
 
+    # deprecated aliases kept for API parity with the reference
+    # (LZ4Factory.java:299-311)
+    def decompressor(self) -> Lz4FastDecompressor:
+        """Deprecated: use :meth:`fast_decompressor`."""
+        return self._fast_decompressor
+
+    def unknown_size_decompressor(self) -> Lz4SafeDecompressor:
+        """Deprecated: use :meth:`safe_decompressor`."""
+        return self._safe_decompressor
+
     # -- self-test (LZ4Factory.java:204-220) ---------------------------------
 
     def _self_test(self) -> None:

@@ -1,0 +1,6 @@
+"""Utility layer: measurement protocol and buffer helpers."""
+
+from .timing import DeviceTimer, median_throughput
+from .buffers import as_bytes, chunk_bytes
+
+__all__ = ["DeviceTimer", "median_throughput", "as_bytes", "chunk_bytes"]

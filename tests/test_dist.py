@@ -1,0 +1,61 @@
+"""Distributed (mesh) tests on the virtual 8-device CPU mesh: sharded
+compress/decompress parity, ordered frame assembly, offset scan, and the
+full jitted roundtrip step used by dryrun_multichip."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lz4_tpu.core.lz4_block_ref import compress_fast_alloc
+from lz4_tpu.formats.frame import decompress_frame
+from lz4_tpu.dist import (
+    block_mesh, compress_frame_sharded, pack_offsets,
+    shard_compress_blocks, shard_decompress_blocks,
+)
+from lz4_tpu.dist.sharded import sharded_roundtrip_step
+
+from conftest import random_bytes
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    return block_mesh()
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_shard_compress_byte_parity(mesh, rng):
+    blocks = [random_bytes(rng, rng.randrange(50, 1500), 8) for _ in range(13)]
+    comp = shard_compress_blocks(blocks, mesh)
+    assert comp == [compress_fast_alloc(b) for b in blocks]
+
+
+def test_shard_roundtrip_unaligned_block_count(mesh, rng):
+    # 13 blocks over 8 devices: padding/truncation path
+    blocks = [random_bytes(rng, 700, 4) for _ in range(13)]
+    comp = shard_compress_blocks(blocks, mesh)
+    out = shard_decompress_blocks(comp, 700, mesh)
+    assert out == blocks
+
+
+def test_sharded_frame_is_standard(mesh, rng):
+    data = random_bytes(rng, 250000, 16)
+    frame = compress_frame_sharded(data, 1 << 16, mesh)
+    assert decompress_frame(frame) == data
+
+
+def test_pack_offsets_is_exclusive_scan():
+    lens = np.array([5, 3, 9, 1], np.int32)
+    offs = np.asarray(pack_offsets(lens))
+    assert offs.tolist() == [0, 5, 8, 17]
+
+
+def test_sharded_roundtrip_step(mesh):
+    ok, total = sharded_roundtrip_step(mesh, n_blocks_per_dev=2, block_len=256)
+    assert ok.all()
+    assert total > 0
