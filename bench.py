@@ -43,9 +43,12 @@ def bench_native(corpus: bytes):
 
     blocks = [corpus[i:i + BLOCK] for i in range(0, len(corpus), BLOCK)]
     comp = ni.compress_fast_batch(blocks)  # warm
-    t0 = time.time()
-    comp = ni.compress_fast_batch(blocks)
-    t_comp = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        comp = ni.compress_fast_batch(blocks)
+        times.append(time.time() - t0)
+    t_comp = statistics.median(times)
 
     ni.decompress_safe_batch(comp, BLOCK)  # warm
     times = []
@@ -65,26 +68,38 @@ def bench_native(corpus: bytes):
     }
 
 
-def bench_tpu_xxh32(n: int = 2048, block_len: int = 65536):
-    """Pallas xxh32 kernel throughput on the accelerator (distinct buffers)."""
+def _bench_kernel(fn, n: int = 2048, block_len: int = 65536):
+    """Kernel GB/s via the measurement protocol (utils/timing.py)."""
+    import jax
+    import numpy as np
+    from lz4_tpu.utils.timing import median_throughput
+    if jax.devices()[0].platform == "cpu":
+        return None
+    w = block_len // 4
+    rng = np.random.default_rng(0)
+    bufs = [jax.device_put(rng.integers(0, 2 ** 32, (n // 1024 * w, 8, 128),
+                                        dtype=np.uint32))
+            for _ in range(6)]
+    return median_throughput(
+        lambda b: jax.block_until_ready(fn(b, block_len, 0)),
+        bufs, n * block_len)
+
+
+def bench_tpu_xxh32(**kw):
+    """Pallas xxh32 kernel throughput on the accelerator."""
     try:
-        import jax
-        import numpy as np
         from lz4_tpu.kernels.xxhash_pallas import xxh32_words_pallas
-        if jax.devices()[0].platform == "cpu":
-            return None
-        w = block_len // 4
-        rng = np.random.default_rng(0)
-        bufs = [jax.device_put(rng.integers(0, 2 ** 32, (n // 1024 * w, 8, 128),
-                                            dtype=np.uint32))
-                for _ in range(6)]
-        jax.block_until_ready(xxh32_words_pallas(bufs[0], block_len, 0))
-        t0 = time.time()
-        for i in range(1, 6):
-            jax.block_until_ready(xxh32_words_pallas(bufs[i], block_len, 0))
-        dt = (time.time() - t0) / 5
-        return n * block_len / dt / 1e9
+        return _bench_kernel(xxh32_words_pallas, **kw)
     except Exception as e:  # TPU unavailable or kernel failure: report, don't die
+        return f"unavailable: {type(e).__name__}: {e}"
+
+
+def bench_tpu_xxh64(**kw):
+    """Pallas xxh64 kernel throughput on the accelerator."""
+    try:
+        from lz4_tpu.kernels.xxhash64_pallas import xxh64_words_pallas
+        return _bench_kernel(xxh64_words_pallas, **kw)
+    except Exception as e:
         return f"unavailable: {type(e).__name__}: {e}"
 
 
@@ -92,6 +107,7 @@ def main():
     corpus = load_corpus()
     native = bench_native(corpus)
     tpu_hash = bench_tpu_xxh32()
+    tpu_hash64 = bench_tpu_xxh64()
 
     value = round(native["decompress_gbps"], 3)
     result = {
@@ -108,6 +124,8 @@ def main():
             "ratio_vs_reference": 1.0,  # byte-identical output by construction
             "tpu_xxh32_kernel_gbps": (round(tpu_hash, 1)
                                       if isinstance(tpu_hash, float) else tpu_hash),
+            "tpu_xxh64_kernel_gbps": (round(tpu_hash64, 1)
+                                      if isinstance(tpu_hash64, float) else tpu_hash64),
         },
     }
     print(json.dumps(result))

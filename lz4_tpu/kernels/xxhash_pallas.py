@@ -181,3 +181,23 @@ def xxh32_uniform_pallas(data, seed: int = 0, interpret: bool = False):
     """
     n, l = data.shape
     return xxh32_words_pallas(to_tile_layout(data), l, seed, interpret)
+
+
+def to_tile_layout_np(data):
+    """Host (numpy) variant of ``to_tile_layout``.
+
+    Prefer this on the host side: the device-side uint8 bitcast+transpose
+    lowers to a byte-granularity relayout that is pathologically slow on
+    TPU for some shapes.
+    """
+    import numpy as np
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n, l = data.shape
+    if n % TILE != 0:
+        raise ValueError(f"N must be a multiple of {TILE}, got {n}")
+    w = l // 4
+    words = data.reshape(n, w, 4).view(np.uint32).reshape(n, w)
+    return np.ascontiguousarray(
+        words.reshape(n // TILE, SUBLANES, LANES, w)
+        .transpose(0, 3, 1, 2)
+        .reshape((n // TILE) * w, SUBLANES, LANES))

@@ -139,3 +139,26 @@ def test_lz4_pallas_decompress_malformed_interpret():
     out, olens, err = decompress_safe_pallas(
         carr2, np.array([len(ok)], np.int32), 20, interpret=True)
     assert int(np.asarray(err)[0]) == 0
+
+
+@pytest.mark.parametrize("L", [64, 256])
+def test_xxh64_pallas_interpret_matches_reference(L, rng):
+    from lz4_tpu.kernels.xxhash64_pallas import xxh64_words_pallas
+    from lz4_tpu.kernels.xxhash_pallas import to_tile_layout_np
+    N = 1024
+    raw = random_bytes(rng, N * L, 256)
+    data = np.frombuffer(raw, np.uint8).reshape(N, L)
+    words = to_tile_layout_np(data)
+    hi, lo = xxh64_words_pallas(words, L, 0xCAFEBABE12345678, interpret=True)
+    hi = np.asarray(hi).astype(np.uint64)
+    lo = np.asarray(lo).astype(np.uint64)
+    got = ((hi << np.uint64(32)) | lo)
+    expect = [xxh64(data[i].tobytes(), 0, L, 0xCAFEBABE12345678)
+              for i in range(0, N, 61)]
+    assert got[::61].tolist() == expect
+
+
+def test_tile_layout_np_matches_device(rng):
+    from lz4_tpu.kernels.xxhash_pallas import to_tile_layout, to_tile_layout_np
+    data = np.frombuffer(random_bytes(rng, 1024 * 64, 256), np.uint8).reshape(1024, 64)
+    assert np.array_equal(np.asarray(to_tile_layout(data)), to_tile_layout_np(data))
