@@ -88,7 +88,14 @@ class Lz4Factory:
 
     @classmethod
     def fastest_instance(cls) -> "Lz4Factory":
-        """Native if it works, else pallas, else safe (LZ4Factory.java:162-173)."""
+        """Native if it works, else pallas, else safe (LZ4Factory.java:162-173).
+
+        ``TPULZ4_DEFAULT_TIER`` forces a specific tier (utils/config.py).
+        """
+        from ..utils.config import default_tier
+        forced = default_tier()
+        if forced is not None:
+            return cls._instance(forced)
         for impl in ("native", "pallas", "safe"):
             try:
                 return cls._instance(impl)
@@ -201,6 +208,10 @@ class XXHashFactory:
 
     @classmethod
     def fastest_instance(cls) -> "XXHashFactory":
+        from ..utils.config import default_tier
+        forced = default_tier()
+        if forced is not None:
+            return cls._instance(forced)
         for impl in ("native", "pallas", "safe"):
             try:
                 return cls._instance(impl)

@@ -5,9 +5,16 @@ from .sharded import (
     shard_compress_blocks, shard_decompress_blocks, shard_xxh32,
     sharded_roundtrip_step, compress_frame_sharded, pack_offsets,
 )
+from .multihost import (
+    compress_blocks_multihost, initialize as initialize_multihost,
+    process_block_range,
+)
+from .recovery import BlockVerificationError, compress_blocks_verified
 
 __all__ = [
     "block_mesh", "device_count",
     "shard_compress_blocks", "shard_decompress_blocks", "shard_xxh32",
     "sharded_roundtrip_step", "compress_frame_sharded", "pack_offsets",
+    "compress_blocks_multihost", "initialize_multihost", "process_block_range",
+    "BlockVerificationError", "compress_blocks_verified",
 ]

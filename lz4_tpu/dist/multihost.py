@@ -1,0 +1,98 @@
+"""Multi-host (pod-slice) support: DCN process group + host-sharded frames.
+
+Single-process multi-chip runs shard blocks over ICI via ``dist/sharded.py``.
+Across hosts, the same 1-D block axis extends over DCN: every process
+compresses the block range it owns with its local chips, and the frame is
+assembled in global block order — ordering gives byte-exact reassembly for
+free because frame blocks are independent (``LZ4FrameOutputStream.java:58``).
+
+This module is validated in-degenerate-form at process_count == 1 (the only
+topology this environment offers); the collective path uses
+``jax.experimental.multihost_utils.process_allgather``, which is a no-op
+pass-through at one process.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime (DCN process group).
+
+    On single-host runs this is a no-op. On a pod slice, call with the
+    coordinator address (or rely on TPU auto-configuration by passing
+    nothing on Cloud TPU VMs).
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+
+
+def process_block_range(n_blocks: int) -> tuple[int, int]:
+    """[start, end) of the global block index range owned by this process.
+
+    Blocks are assigned contiguously so concatenating per-process outputs in
+    process order yields the global frame order.
+    """
+    p = jax.process_count()
+    i = jax.process_index()
+    per = (n_blocks + p - 1) // p
+    start = min(i * per, n_blocks)
+    return start, min(start + per, n_blocks)
+
+
+def compress_blocks_multihost(blocks: list[bytes], mesh=None) -> list[bytes] | None:
+    """Compress ``blocks`` cooperatively across all hosts.
+
+    Every process passes the FULL global block list (cheap: inputs usually
+    come from a shared filesystem); each compresses only its owned range on
+    its local chips, then per-process results are allgathered and
+    re-concatenated in process order. Returns the full ordered compressed
+    list on every process.
+    """
+    from .sharded import shard_compress_blocks
+
+    start, end = process_block_range(len(blocks))
+    local = shard_compress_blocks(blocks[start:end], mesh) if end > start else []
+
+    if jax.process_count() == 1:
+        return local
+
+    # exchange variable-length byte blocks via fixed-width uint8 payloads
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    local_blob = b"".join(local)
+    lens = np.array([len(c) for c in local], np.int64)
+    max_blob = int(multihost_utils.process_allgather(
+        np.array([len(local_blob)], np.int64)).max())
+    max_cnt = int(multihost_utils.process_allgather(
+        np.array([len(lens)], np.int64)).max())
+
+    blob_pad = np.zeros(max_blob, np.uint8)
+    blob_pad[:len(local_blob)] = np.frombuffer(local_blob, np.uint8)
+    lens_pad = np.full(max_cnt + 1, -1, np.int64)
+    lens_pad[0] = len(lens)
+    lens_pad[1:1 + len(lens)] = lens
+
+    all_blobs = multihost_utils.process_allgather(blob_pad)   # [P, max_blob]
+    all_lens = multihost_utils.process_allgather(lens_pad)    # [P, max_cnt+1]
+
+    out: list[bytes] = []
+    for p in range(all_lens.shape[0]):
+        cnt = int(all_lens[p, 0])
+        pos = 0
+        for k in range(cnt):
+            ln = int(all_lens[p, 1 + k])
+            out.append(all_blobs[p, pos:pos + ln].tobytes())
+            pos += ln
+    return out

@@ -44,7 +44,9 @@ ERR_DEST_TOO_SMALL = 2
 PAD = 64          # slack so fixed-size windows never go out of range
 _CHUNK = 16       # window size for chunked copies
 
-_HASH_MULT = jnp.int32(-1640531535)  # == 2654435761 as uint32
+import numpy as _np
+
+_HASH_MULT = _np.int32(-1640531535)  # == 2654435761 as uint32 (numpy: no backend init at import)
 
 
 def _hash(v, hash_log: int):

@@ -8,15 +8,17 @@ take and return (hi, lo) tuples of uint32 arrays and are fully vectorized.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
-_U16 = jnp.uint32(0xFFFF)
+_U16 = np.uint32(0xFFFF)
 
 
 def const64(value: int):
-    """Python int -> (hi, lo) uint32 pair."""
+    """Python int -> (hi, lo) uint32 pair (numpy: no backend init at import)."""
     value &= (1 << 64) - 1
-    return jnp.uint32(value >> 32), jnp.uint32(value & 0xFFFFFFFF)
+    return np.uint32(value >> 32), np.uint32(value & 0xFFFFFFFF)
 
 
 def add64(a, b):

@@ -19,11 +19,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_P1 = jnp.uint32(2654435761)
-_P2 = jnp.uint32(2246822519)
-_P3 = jnp.uint32(3266489917)
-_P4 = jnp.uint32(668265263)
-_P5 = jnp.uint32(374761393)
+import numpy as _np
+
+# numpy scalars: identical dtype semantics in jnp expressions, but no JAX
+# backend initialization at import time
+_P1 = _np.uint32(2654435761)
+_P2 = _np.uint32(2246822519)
+_P3 = _np.uint32(3266489917)
+_P4 = _np.uint32(668265263)
+_P5 = _np.uint32(374761393)
 
 from . import u64_emul as u64
 
