@@ -116,7 +116,9 @@ def xxh32_batch(data, lengths, seed=0):
         v4 = jnp.where(active, _round32(v4, x[:, 3]), v4)
         return v1, v2, v3, v4
 
-    v1, v2, v3, v4 = lax.fori_loop(0, max_stripes, stripe, (v1, v2, v3, v4))
+    if max_stripes > 0:  # static: avoid tracing 4-word slices on tiny L
+        v1, v2, v3, v4 = lax.fori_loop(0, max_stripes, stripe,
+                                       (v1, v2, v3, v4))
 
     converged = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
                  + _rotl32(v4, 18))
@@ -188,7 +190,9 @@ def xxh64_batch(data, lengths, seed=0):
             return u64.where64(active, nv, v)
         return (upd(v1, 0), upd(v2, 1), upd(v3, 2), upd(v4, 3))
 
-    v1, v2, v3, v4 = lax.fori_loop(0, max_stripes, stripe, (v1, v2, v3, v4))
+    if max_stripes > 0:  # static: avoid tracing 4-word slices on tiny L
+        v1, v2, v3, v4 = lax.fori_loop(0, max_stripes, stripe,
+                                       (v1, v2, v3, v4))
 
     conv = u64.add64(u64.add64(u64.rotl64(v1, 1), u64.rotl64(v2, 7)),
                      u64.add64(u64.rotl64(v3, 12), u64.rotl64(v4, 18)))
