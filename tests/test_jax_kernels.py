@@ -162,3 +162,25 @@ def test_tile_layout_np_matches_device(rng):
     from lz4_tpu.kernels.xxhash_pallas import to_tile_layout, to_tile_layout_np
     data = np.frombuffer(random_bytes(rng, 1024 * 64, 256), np.uint8).reshape(1024, 64)
     assert np.array_equal(np.asarray(to_tile_layout(data)), to_tile_layout_np(data))
+
+
+def test_lz4_pallas_compress_interpret(rng):
+    from lz4_tpu.kernels.lz4_pallas import compress_fast_pallas, PAD as KPAD
+    from lz4_tpu.core.constants import max_compressed_length
+    blocks = [random_bytes(rng, n, a) for a, n in
+              [(4, 1000), (256, 300), (1, 500), (8, 13), (3, 0)]]
+    L = max(len(b) for b in blocks)
+    N = len(blocks)
+    sarr = np.zeros((N, L + KPAD), np.int32)
+    slens = np.zeros((N,), np.int32)
+    for i, b in enumerate(blocks):
+        sarr[i, :len(b)] = np.frombuffer(b, np.uint8)
+        slens[i] = len(b)
+    out, olens, err = compress_fast_pallas(
+        sarr, slens, max_compressed_length(L), interpret=True)
+    assert not np.asarray(err).any()
+    out = np.asarray(out)
+    olens = np.asarray(olens)
+    for i, b in enumerate(blocks):
+        got = out[i, :olens[i]].astype(np.uint8).tobytes()
+        assert got == compress_fast_alloc(b), i
