@@ -1,0 +1,149 @@
+"""Gather-decode: high-throughput TPU LZ4 decompression as batched gathers.
+
+The serial token scan is the only part of LZ4 decoding that resists
+vectorization — the byte movement itself is expressible as gathers, which
+this chip executes at ~20 Gelem/s. So the pipeline splits:
+
+1. **Host parse** (C++ ``tpulz4_parse_sequences``): walk the token stream
+   without copying, emitting per-sequence records (absolute literal
+   source/dest offsets + lengths, match dest/distance/length). Touches only
+   header bytes — GB/s-scale on one core.
+2. **Device resolve + gather** (this module, jit/vmap):
+   - per-byte segment lookup via ``searchsorted`` over the sequence tables;
+   - literal bytes map directly to compressed-buffer indices;
+   - match bytes get a *parent pointer* ``q(j) = (m-d) + ((j-(m-d)) mod d)``
+     (the periodic fold of overlap matches) into earlier output;
+   - parent chains collapse by pointer doubling — log2(chain depth)
+     gather rounds — leaving every byte with a compressed-buffer origin;
+   - one final gather materializes the output.
+
+This is the encode-time/absolute-offset-resolution idea (cf. ACEAPEX,
+PAPERS.md) executed at decode time with the resolution on device. Unlike
+the sequential decoders it scales with both batch size and gather
+bandwidth. Bit-exactness is asserted against the reference oracle,
+including the null-match-offset quirk (uncovered bytes decode as zeros,
+matching fresh-buffer serial decoders).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_BIG = 1 << 30
+
+
+def parse_blocks(blocks: list[bytes], max_seq: int | None = None):
+    """Parse compressed blocks into per-sequence tables (host, C++).
+
+    Returns dict of int32 arrays [N, S] + n_seq [N] + out_total [N].
+    Raises Lz4Error on malformed input.
+    """
+    from ..native import bindings
+    from ..core.errors import Lz4Error
+    lib = bindings.load()
+    lib.tpulz4_parse_sequences.restype = ctypes.c_int
+    n = len(blocks)
+    if max_seq is None:
+        # every sequence consumes >= 3 compressed bytes except the last
+        max_seq = max(2, max(len(b) for b in blocks) // 3 + 2)
+    shape = (n, max_seq)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    arrs = {k: np.zeros(shape, np.int32)
+            for k in ("lit_out", "lit_src", "lit_len",
+                      "m_out", "m_dist", "m_len")}
+    n_seq = np.zeros(n, np.int32)
+    out_total = np.zeros(n, np.int32)
+    for i, b in enumerate(blocks):
+        src = (ctypes.c_uint8 * len(b)).from_buffer_copy(b)
+        total = ctypes.c_int32(0)
+        r = lib.tpulz4_parse_sequences(
+            ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), len(b), max_seq,
+            *(a[i].ctypes.data_as(i32p) for a in
+              (arrs["lit_out"], arrs["lit_src"], arrs["lit_len"],
+               arrs["m_out"], arrs["m_dist"], arrs["m_len"])),
+            ctypes.byref(total))
+        if r < 0:
+            raise Lz4Error(f"Malformed input in block {i} (parse code {r})")
+        n_seq[i] = r
+        out_total[i] = total.value
+        # sentinel-pad the tails so searchsorted never selects them
+        arrs["lit_out"][i, r:] = _BIG
+        arrs["m_out"][i, r:] = _BIG
+    return arrs, n_seq, out_total
+
+
+def _decode_one(comp, lit_out, lit_src, lit_len, m_out, m_dist, m_len,
+                out_len: int, max_depth: int):
+    j = jnp.arange(out_len, dtype=jnp.int32)
+
+    k = jnp.searchsorted(lit_out, j, side="right") - 1
+    k = jnp.clip(k, 0, lit_out.shape[0] - 1)
+    lbo = lit_out[k]
+    in_lit = (j - lbo) < lit_len[k]
+    idx = jnp.where(in_lit, lit_src[k] + (j - lbo), -1)
+
+    q = jnp.searchsorted(m_out, j, side="right") - 1
+    q = jnp.clip(q, 0, m_out.shape[0] - 1)
+    mo = m_out[q]
+    md = m_dist[q]
+    in_match = jnp.logical_not(in_lit) & ((j - mo) < m_len[q]) & (md > 0)
+    base = mo - md
+    parent = jnp.where(in_match,
+                       base + ((j - base) % jnp.maximum(md, 1)),
+                       j)
+
+    # pointer doubling: collapse match->match chains to literal origins.
+    # a byte is resolved when it has a literal origin (idx >= 0) or is a
+    # self-parent (uncovered: null-match bytes, which decode as zeros)
+    def cond(st):
+        idx, parent, depth = st
+        unresolved = (idx < 0) & (parent != jnp.arange(idx.shape[0]))
+        return (depth < max_depth) & jnp.any(unresolved)
+
+    def body(st):
+        idx, parent, depth = st
+        idx = jnp.where(idx >= 0, idx, idx[parent])
+        parent = parent[parent]
+        return idx, parent, depth + 1
+
+    idx, parent, _ = lax.while_loop(cond, body, (idx, parent, jnp.int32(0)))
+
+    # uncovered bytes (null match offsets) decode as zeros
+    return jnp.where(idx >= 0, comp[jnp.maximum(idx, 0)], 0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "max_depth"))
+def gather_decompress_batch(comp, lit_out, lit_src, lit_len,
+                            m_out, m_dist, m_len,
+                            out_len: int, max_depth: int = 32):
+    """Batched gather decode.
+
+    Args:
+      comp: uint8[N, CMAX] compressed bytes (natural byte layout).
+      lit_*/m_*: int32[N, S] sequence tables from ``parse_blocks``.
+      out_len: static decompressed size cap per block.
+
+    Returns: uint8[N, out_len].
+    """
+    return jax.vmap(
+        lambda *a: _decode_one(*a, out_len, max_depth))(
+        comp, lit_out, lit_src, lit_len, m_out, m_dist, m_len)
+
+
+def decompress_blocks(blocks: list[bytes], out_len: int):
+    """Host convenience: parse + device decode; returns list[bytes]."""
+    arrs, n_seq, out_total = parse_blocks(blocks)
+    cmax = max(len(b) for b in blocks)
+    comp = np.zeros((len(blocks), cmax), np.uint8)
+    for i, b in enumerate(blocks):
+        comp[i, :len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(gather_decompress_batch(
+        comp, arrs["lit_out"], arrs["lit_src"], arrs["lit_len"],
+        arrs["m_out"], arrs["m_dist"], arrs["m_len"], out_len))
+    return [out[i, :out_total[i]].tobytes() for i in range(len(blocks))]

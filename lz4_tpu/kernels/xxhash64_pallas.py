@@ -179,6 +179,14 @@ def _pick_chunk(w: int, target: int = 1024) -> int:
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("total_len", "interpret"))
+def xxh64_words_pallas_dynseed(words, total_len: int, seed_arr,
+                               interpret: bool = False):
+    """Traced-seed variant (uint32[2] = [hi, lo]) for the amortized
+    benchmark protocol."""
+    return _xxh64_words_call(words, total_len, seed_arr, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("total_len", "seed", "interpret"))
 def xxh64_words_pallas(words, total_len: int, seed: int = 0,
                        interpret: bool = False):
@@ -200,9 +208,16 @@ def xxh64_words_pallas(words, total_len: int, seed: int = 0,
     if total_len % 64 != 0 or total_len == 0 or wn % w != 0:
         raise ValueError(f"bad total_len {total_len} for rows={wn}")
     nt = wn // w
+    seed_arr = jnp.array([(seed >> 32) & _M32, seed & _M32], jnp.uint32)
+    return _xxh64_words_call(words, total_len, seed_arr, interpret)
+
+
+def _xxh64_words_call(words, total_len, seed_arr, interpret):
+    wn, sub, lanes = words.shape
+    w = total_len // 4
+    nt = wn // w
     chunk_w = _pick_chunk(w)
     n_chunks = w // chunk_w
-    seed_arr = jnp.array([(seed >> 32) & _M32, seed & _M32], jnp.uint32)
 
     outh, outl = pl.pallas_call(
         functools.partial(_kernel, chunk_w=chunk_w, total_len=total_len),

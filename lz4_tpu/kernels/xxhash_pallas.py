@@ -109,6 +109,15 @@ def _pick_chunk(w: int, target: int = 1024) -> int:
     return best
 
 
+@functools.partial(jax.jit, static_argnames=("total_len", "interpret"))
+def xxh32_words_pallas_dynseed(words, total_len: int, seed_arr,
+                               interpret: bool = False):
+    """As ``xxh32_words_pallas`` but with a traced uint32[1] seed array —
+    used by the amortized benchmark protocol (distinct seeds defeat the
+    relay's content memoization without staging copies)."""
+    return _xxh32_words_call(words, total_len, seed_arr, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("total_len", "seed", "interpret"))
 def xxh32_words_pallas(words, total_len: int, seed: int = 0,
                        interpret: bool = False):
@@ -132,9 +141,16 @@ def xxh32_words_pallas(words, total_len: int, seed: int = 0,
     if total_len % 32 != 0 or total_len == 0 or wn % w != 0:
         raise ValueError(f"bad total_len {total_len} for rows={wn}")
     nt = wn // w
+    seed_arr = jnp.full((1,), seed & 0xFFFFFFFF, jnp.uint32)
+    return _xxh32_words_call(words, total_len, seed_arr, interpret)
+
+
+def _xxh32_words_call(words, total_len, seed_arr, interpret):
+    wn, sub, lanes = words.shape
+    w = total_len // 4
+    nt = wn // w
     chunk_w = _pick_chunk(w)
     n_chunks = w // chunk_w
-    seed_arr = jnp.full((1,), seed & 0xFFFFFFFF, jnp.uint32)
 
     grid = (nt, n_chunks)
     out = pl.pallas_call(

@@ -1076,4 +1076,91 @@ TPULZ4_API void tpulz4_decompress_safe_batch(
   for (auto& th : threads) th.join();
 }
 
+
+// ---------------------------------------------------------------------------
+// sequence parser (for the gather-decode TPU pipeline)
+// ---------------------------------------------------------------------------
+//
+// Walks the token stream without copying data, emitting one record per
+// sequence: absolute literal source/destination offsets and lengths plus
+// match distance/length. The device side turns these into per-byte gather
+// maps (kernels/gather_decode.py). Validation matches tpulz4_decompress_safe.
+
+TPULZ4_API int tpulz4_parse_sequences(
+    const uint8_t* src, int src_len, int max_seq,
+    int32_t* lit_out, int32_t* lit_src, int32_t* lit_len_a,
+    int32_t* m_out, int32_t* m_dist, int32_t* m_len_a,
+    int32_t* out_total) {
+  if (src_len < 0) return TPULZ4_E_PARAM;
+  int s = 0, d = 0, n = 0;
+  const int src_end = src_len;
+  for (;;) {
+    if (s >= src_end) return TPULZ4_E_MALFORMED;
+    if (n >= max_seq) return TPULZ4_E_PARAM;
+    int token = src[s++];
+
+    int lit_len = token >> ML_BITS;
+    if (lit_len == RUN_MASK) {
+      int b = 0xFF;
+      while (s < src_end) {
+        b = src[s++];
+        if (b != 0xFF) break;
+        lit_len += 0xFF;
+      }
+      lit_len += b;
+    }
+    if (s + lit_len > src_end) return TPULZ4_E_MALFORMED;
+
+    lit_out[n] = d;
+    lit_src[n] = s;
+    lit_len_a[n] = lit_len;
+    s += lit_len;
+    d += lit_len;
+
+    if (s == src_end) {  // EOF: final literals-only sequence
+      m_out[n] = d;
+      m_dist[n] = 0;
+      m_len_a[n] = 0;
+      ++n;
+      break;
+    }
+    if (s + 2 > src_end) return TPULZ4_E_MALFORMED;
+
+    int match_dec = src[s] | (src[s + 1] << 8);
+    s += 2;
+    if (d - match_dec < 0) return TPULZ4_E_MALFORMED;
+
+    int match_len = token & ML_MASK;
+    if (match_len == ML_MASK) {
+      int b = 0xFF;
+      while (s < src_end) {
+        b = src[s++];
+        if (b != 0xFF) break;
+        match_len += 0xFF;
+      }
+      match_len += b;
+    }
+    match_len += MIN_MATCH;
+    if (match_dec == 0) {
+      // null-offset self-copy: contributes no new bytes; keep output
+      // identical to the serial decoders by treating it as zero-length
+      // (the bytes it "writes" are the bytes already there)
+      m_out[n] = d;
+      m_dist[n] = 0;
+      m_len_a[n] = 0;
+      ++n;
+      d += match_len;  // serial decoders advance over existing bytes
+      continue;
+    }
+
+    m_out[n] = d;
+    m_dist[n] = match_dec;
+    m_len_a[n] = match_len;
+    d += match_len;
+    ++n;
+  }
+  *out_total = d;
+  return n;
+}
+
 TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.1.0"; }
