@@ -639,6 +639,32 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
     if (s >= src_end) return TPULZ4_E_MALFORMED;
     int token = src[s++];
 
+    // shortcut: short literals + short match with ample slack — copy 16
+    // literal bytes blindly, then handle the match with a guaranteed-safe
+    // wild copy (the standard LZ4 hot-path specialization)
+    if (token < 0xF0 && (token & ML_MASK) != ML_MASK &&
+        s + 16 + 2 <= src_end && d + 16 <= dest_end - 18) {
+      int ll = token >> ML_BITS;
+      std::memcpy(dest + d, src + s, 16);
+      s += ll;
+      d += ll;
+      int match_dec = src[s] | (src[s + 1] << 8);
+      s += 2;
+      int match_off = d - match_dec;
+      int ml = (token & ML_MASK) + MIN_MATCH;
+      if (match_off >= 0 && match_dec >= 18) {
+        std::memcpy(dest + d, dest + match_off, 18);  // ml <= 18, slack ok
+        d += ml;
+        continue;
+      }
+      if (match_off < 0) return TPULZ4_E_MALFORMED;
+      if (match_dec != 0) {
+        match_copy(dest, match_off, d, match_dec, ml, dest_end);
+      }
+      d += ml;
+      continue;
+    }
+
     int literal_len = token >> ML_BITS;
     if (literal_len == RUN_MASK) {
       int b = 0xFF;
@@ -709,6 +735,30 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
   for (;;) {
     if (s >= src_avail) return TPULZ4_E_MALFORMED;
     int token = src[s++];
+
+    // shortcut fast path (see tpulz4_decompress_safe)
+    if (token < 0xF0 && (token & ML_MASK) != ML_MASK &&
+        s + 16 + 2 <= src_avail && d + 16 <= dest_end - 18) {
+      int ll = token >> ML_BITS;
+      std::memcpy(dest + d, src + s, 16);
+      s += ll;
+      d += ll;
+      int match_dec = src[s] | (src[s + 1] << 8);
+      s += 2;
+      int match_off = d - match_dec;
+      int ml = (token & ML_MASK) + MIN_MATCH;
+      if (match_off >= 0 && match_dec >= 18) {
+        std::memcpy(dest + d, dest + match_off, 18);
+        d += ml;
+        continue;
+      }
+      if (match_off < 0) return TPULZ4_E_MALFORMED;
+      if (match_dec != 0) {
+        match_copy(dest, match_off, d, match_dec, ml, dest_end);
+      }
+      d += ml;
+      continue;
+    }
 
     int literal_len = token >> ML_BITS;
     if (literal_len == RUN_MASK) {
