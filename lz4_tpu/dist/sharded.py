@@ -133,7 +133,7 @@ def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
     import struct
     from ..formats.frame import (
         BlockSize, FrameFlag, INCOMPRESSIBLE_MASK, MAGIC, _flg_to_byte)
-    from ..core.xxhash_ref import xxh32, StreamingXXH32
+    from ..api.factory import XXHashFactory
 
     size_enum = {1 << 16: BlockSize.SIZE_64KB, 1 << 18: BlockSize.SIZE_256KB,
                  1 << 20: BlockSize.SIZE_1MB, 1 << 22: BlockSize.SIZE_4MB}
@@ -149,7 +149,8 @@ def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
     out = bytearray()
     desc = bytes([_flg_to_byte(frozenset(flags)),
                   (size_enum[block_size].value & 7) << 4])
-    hc = (xxh32(desc) >> 8) & 0xFF
+    xf = XXHashFactory.fastest_instance()
+    hc = ((xf.hash32().hash(desc, 0, len(desc), 0) & 0xFFFFFFFF) >> 8) & 0xFF
     out += struct.pack("<I", MAGIC) + desc + bytes([hc])
 
     for raw, comp in zip(blocks, compressed):
@@ -159,9 +160,9 @@ def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
             out += struct.pack("<I", len(comp)) + comp
     out += struct.pack("<I", 0)
     if content_checksum:
-        s = StreamingXXH32(0)
+        s = xf.new_streaming_hash32(0)
         s.update(data)
-        out += struct.pack("<I", s.get_value())
+        out += struct.pack("<I", s.get_value() & 0xFFFFFFFF)
     return bytes(out)
 
 

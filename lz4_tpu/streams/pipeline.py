@@ -15,7 +15,6 @@ import io
 import struct
 
 from ..core.errors import Lz4FrameError
-from ..core.xxhash_ref import StreamingXXH32, xxh32
 from ..formats.frame import (
     BlockSize, FrameFlag, INCOMPRESSIBLE_MASK, MAGIC, MAGIC_SKIPPABLE_BASE,
     _bd_from_byte, _flg_from_byte, _flg_to_byte,
@@ -23,6 +22,18 @@ from ..formats.frame import (
 
 _U32 = struct.Struct("<I")
 _U64 = struct.Struct("<Q")
+
+
+def _hash32(data) -> int:
+    """One-shot xxh32 via the fastest tier (pure-Python would bottleneck)."""
+    from ..api.factory import XXHashFactory
+    f = XXHashFactory.fastest_instance()
+    return f.hash32().hash(data, 0, len(data), 0) & 0xFFFFFFFF
+
+
+def _new_streaming32():
+    from ..api.factory import XXHashFactory
+    return XXHashFactory.fastest_instance().new_streaming_hash32(0)
 
 
 class BatchEngine:
@@ -99,7 +110,7 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
 
     desc = bytes([_flg_to_byte(frozenset(flags)),
                   (block_size.value & 7) << 4])
-    hc = (xxh32(desc) >> 8) & 0xFF
+    hc = (_hash32(desc) >> 8) & 0xFF
     written = 0
 
     def w(data):
@@ -108,7 +119,7 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
         written += len(data)
 
     w(_U32.pack(MAGIC) + desc + bytes([hc]))
-    content_hash = StreamingXXH32(0) if content_checksum else None
+    content_hash = _new_streaming32() if content_checksum else None
 
     while True:
         blocks = []
@@ -141,7 +152,7 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
 
     w(_U32.pack(0))
     if content_hash is not None:
-        w(_U32.pack(content_hash.get_value()))
+        w(_U32.pack(content_hash.get_value() & 0xFFFFFFFF))
     return written
 
 
@@ -191,10 +202,10 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
             desc += raw8
             expected_size = _U64.unpack(raw8)[0]
         hc = read_exact(1)[0]
-        if ((xxh32(bytes(desc)) >> 8) & 0xFF) != hc:
+        if ((_hash32(bytes(desc)) >> 8) & 0xFF) != hc:
             raise Lz4FrameError("Frame header checksum mismatch")
 
-        content_hash = (StreamingXXH32(0)
+        content_hash = (_new_streaming32()
                         if FrameFlag.CONTENT_CHECKSUM in flags else None)
         bs = bsz.num_bytes
         total = 0
@@ -232,7 +243,7 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
             payload = read_exact(block_size)
             if FrameFlag.BLOCK_CHECKSUM in flags:
                 expect = _U32.unpack(read_exact(4))[0]
-                if expect != xxh32(payload):
+                if expect != _hash32(payload):
                     raise Lz4FrameError("Block checksum mismatch")
             pending.append((compressed, payload))
             if len(pending) >= batch_blocks:
