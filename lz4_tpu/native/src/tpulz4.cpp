@@ -582,21 +582,43 @@ static inline void wild_copy16(uint8_t* dst, const uint8_t* src, int len) {
   } while (d < end);
 }
 
+// small-distance expansion tables (derived, see notes below). The output of
+// an overlap match is periodic with period `dist`; after writing the first
+// 8 bytes (4 byte-wise + one 4-byte copy whose source offset keeps reads
+// behind the write cursor), the copy can continue reading at distance
+// kRunDist8[dist] — the smallest multiple of dist that is >= 8 — which
+// preserves the periodic pattern while making 8-byte strides safe.
+static constexpr int kOverlapStep4[8] = {0, 1, 2, 1, 4, 4, 4, 4};
+static constexpr int kRunDist8[8] = {8, 8, 8, 9, 8, 10, 12, 14};
+
 // overlap-aware match copy with the small-distance expansion trick:
-// duplicate the pattern until the distance is >= 8, then wild-copy
+// bring the effective distance to >= 8 within the first 8 bytes, then
+// wild-copy 8-byte strides
 static inline void match_copy(uint8_t* dest, int match_off, int d, int dist,
                               int match_len, int dest_end) {
   uint8_t* dst = dest + d;
   const uint8_t* srcp = dest + match_off;
-  if (d + match_len + 16 <= dest_end && dist >= 16) {
-    wild_copy16(dst, srcp, match_len);
-    return;
-  }
-  if (d + match_len + 8 <= dest_end && dist >= 8) {
-    wild_copy8(dst, srcp, match_len);
+  if (d + match_len + 16 <= dest_end) {  // wild slack available
+    if (dist >= 16) {
+      wild_copy16(dst, srcp, match_len);
+      return;
+    }
+    if (dist >= 8) {
+      wild_copy8(dst, srcp, match_len);
+      return;
+    }
+    // dist in [1, 8): expand to distance >= 8 within the first 8 bytes
+    dst[0] = srcp[0];
+    dst[1] = srcp[1];
+    dst[2] = srcp[2];
+    dst[3] = srcp[3];
+    std::memcpy(dst + 4, srcp + kOverlapStep4[dist], 4);
+    if (match_len > 8)
+      wild_copy8(dst + 8, dst + 8 - kRunDist8[dist], match_len - 8);
     return;
   }
 
+  // near the end of dest: no overrun allowed, exact copies only
   if (dist >= match_len) {  // disjoint regions: plain copy is exact
     std::memcpy(dst, srcp, (size_t)match_len);
     return;
@@ -652,8 +674,20 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
       s += 2;
       int match_off = d - match_dec;
       int ml = (token & ML_MASK) + MIN_MATCH;
-      if (match_off >= 0 && match_dec >= 18) {
-        std::memcpy(dest + d, dest + match_off, 18);  // ml <= 18, slack ok
+      if (match_off >= 0 && match_dec >= 16) {
+        // ml <= 18: one 16-byte move + a 2-byte tail (tail reads land on
+        // already-written bytes when dist is in [16, 18))
+        std::memcpy(dest + d, dest + match_off, 16);
+        std::memcpy(dest + d + 16, dest + match_off + 16, 2);
+        d += ml;
+        continue;
+      }
+      if (match_off >= 0 && match_dec >= 8) {
+        // three 8-byte strides are safe at distance >= 8; the shortcut
+        // guard leaves >= 34 bytes of dest slack
+        std::memcpy(dest + d, dest + match_off, 8);
+        std::memcpy(dest + d + 8, dest + match_off + 8, 8);
+        std::memcpy(dest + d + 16, dest + match_off + 16, 8);
         d += ml;
         continue;
       }
@@ -747,8 +781,20 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
       s += 2;
       int match_off = d - match_dec;
       int ml = (token & ML_MASK) + MIN_MATCH;
-      if (match_off >= 0 && match_dec >= 18) {
-        std::memcpy(dest + d, dest + match_off, 18);
+      if (match_off >= 0 && match_dec >= 16) {
+        // ml <= 18: one 16-byte move + a 2-byte tail (tail reads land on
+        // already-written bytes when dist is in [16, 18))
+        std::memcpy(dest + d, dest + match_off, 16);
+        std::memcpy(dest + d + 16, dest + match_off + 16, 2);
+        d += ml;
+        continue;
+      }
+      if (match_off >= 0 && match_dec >= 8) {
+        // three 8-byte strides are safe at distance >= 8; the shortcut
+        // guard leaves >= 34 bytes of dest slack
+        std::memcpy(dest + d, dest + match_off, 8);
+        std::memcpy(dest + d + 8, dest + match_off + 8, 8);
+        std::memcpy(dest + d + 16, dest + match_off + 16, 8);
         d += ml;
         continue;
       }
