@@ -129,6 +129,49 @@ def _bench_kernel_amortized(dynseed_fn, seed_shape, n: int = 4096,
     return n * block_len / per_pass / 1e9
 
 
+def bench_tpu_segment_decode(corpus: bytes, size: int = 8 << 20):
+    """On-device segment-executor decode GB/s (parse on host, copy on TPU)."""
+    try:
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.kernels import gather_decode as gd
+        from lz4_tpu.kernels import segment_decode as sd
+        from lz4_tpu.kernels.lz4_pallas import PAD
+        if jax.devices()[0].platform == "cpu":
+            return None
+        data = corpus[:size]
+        comp, offs, lens = ni.compress_fast_packed(data, BLOCK)
+        n = len(lens)
+        max_seq = ((int(lens.max()) // 3 + 2) + 1023) & ~1023
+        arrs, n_seq, _ = gd.parse_packed(comp, offs, lens, max_seq,
+                                         sentinel_tails=False)
+        cmax = int(lens.max())
+        comp_arr = np.zeros((n, cmax + PAD), np.int32)
+        mv = memoryview(comp)
+        for i in range(n):
+            o, l = int(offs[i]), int(lens[i])
+            comp_arr[i, :l] = np.frombuffer(mv[o:o + l], np.uint8)
+        args = (jnp.asarray(comp_arr), jnp.asarray(n_seq),
+                *(jnp.asarray(arrs[k]) for k in
+                  ("lit_out", "lit_src", "lit_len",
+                   "m_out", "m_dist", "m_len")))
+        out = sd.decompress_segments_pallas(*args, out_max=BLOCK)
+        out.block_until_ready()  # compile
+        got = np.asarray(out)[:, :BLOCK].astype(np.uint8).reshape(-1)
+        assert bytes(got[:len(data)]) == data, "TPU decode mismatch"
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out = sd.decompress_segments_pallas(*args, out_max=BLOCK)
+            out.block_until_ready()
+            times.append(time.time() - t0)
+        return len(data) / statistics.median(times) / 1e9
+    except Exception as e:
+        return f"unavailable: {type(e).__name__}: {e}"
+
+
 def bench_tpu_xxh32(**kw):
     """Pallas xxh32 kernel throughput on the accelerator."""
     try:
@@ -150,6 +193,7 @@ def bench_tpu_xxh64(**kw):
 def main():
     corpus = load_corpus()
     native = bench_native(corpus)
+    tpu_seg = bench_tpu_segment_decode(corpus)
     tpu_hash = bench_tpu_xxh32()
     tpu_hash64 = bench_tpu_xxh64()
 
@@ -166,6 +210,9 @@ def main():
             "compress_gbps": round(native["compress_gbps"], 3),
             "compression_ratio": round(native["ratio"], 4),
             "ratio_vs_reference": 1.0,  # byte-identical output by construction
+            "tpu_segment_decode_gbps": (round(tpu_seg, 4)
+                                        if isinstance(tpu_seg, float)
+                                        else tpu_seg),
             "tpu_xxh32_kernel_gbps": (round(tpu_hash, 1)
                                       if isinstance(tpu_hash, float) else tpu_hash),
             "tpu_xxh64_kernel_gbps": (round(tpu_hash64, 1)

@@ -38,44 +38,81 @@ from jax import lax
 _BIG = 1 << 30
 
 
-def parse_blocks(blocks: list[bytes], max_seq: int | None = None):
-    """Parse compressed blocks into per-sequence tables (host, C++).
+def parse_packed(comp, comp_offsets, comp_lens, max_seq: int,
+                 n_threads: int | None = None, sentinel_tails: bool = True,
+                 out: dict | None = None):
+    """Parse packed compressed blocks into per-sequence tables (host, C++).
 
-    Returns dict of int32 arrays [N, S] + n_seq [N] + out_total [N].
-    Raises Lz4Error on malformed input.
+    One multithreaded native call over the whole batch
+    (``tpulz4_parse_sequences_batch``). ``comp`` holds block i at
+    ``comp_offsets[i] : + comp_lens[i]``. Returns dict of int32 arrays
+    [N, max_seq] + n_seq [N] + out_total [N]. Raises Lz4Error on malformed
+    input. Table tails are handled inside the native call (cache-warm,
+    threaded): with ``sentinel_tails`` the unused ``lit_out`` / ``m_out``
+    tail entries are set past any real offset so ``searchsorted`` never
+    selects them (gather pipeline); either way length tails are zeroed,
+    which the segment executor treats as no-ops. Pass ``out`` (a dict from
+    a previous call with the same shape) to reuse table storage.
     """
+    import os
     from ..native import bindings
     from ..core.errors import Lz4Error
     lib = bindings.load()
-    lib.tpulz4_parse_sequences.restype = ctypes.c_int
+    n = len(comp_lens)
+    n_threads = n_threads or min(os.cpu_count() or 1, max(n, 1))
+    shape = (n, max_seq)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    keys = ("lit_out", "lit_src", "lit_len", "m_out", "m_dist", "m_len")
+    if out is not None and all(out.get(k) is not None
+                               and out[k].shape == shape for k in keys):
+        arrs = out
+    else:
+        arrs = {k: np.empty(shape, np.int32) for k in keys}
+    n_seq = np.zeros(n, np.int32)
+    out_total = np.zeros(n, np.int32)
+    if n == 0:
+        return arrs, n_seq, out_total
+    comp_offsets = np.ascontiguousarray(comp_offsets, np.int64)
+    comp_lens_a = np.ascontiguousarray(comp_lens, np.int32)
+    if isinstance(comp, bytes):
+        src = ctypes.cast(ctypes.c_char_p(comp),
+                          ctypes.POINTER(ctypes.c_uint8))
+    else:
+        buf = (ctypes.c_uint8 * len(comp)).from_buffer(comp)
+        src = ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8))
+    lib.tpulz4_parse_sequences_batch(
+        src, comp_offsets.ctypes.data_as(i64p),
+        comp_lens_a.ctypes.data_as(i32p), max_seq,
+        *(arrs[k].ctypes.data_as(i32p) for k in keys),
+        n_seq.ctypes.data_as(i32p), out_total.ctypes.data_as(i32p),
+        n, n_threads, 2 if sentinel_tails else 1)
+    bad = np.nonzero(n_seq < 0)[0]
+    if bad.size:
+        i = int(bad[0])
+        raise Lz4Error(f"Malformed input in block {i} (parse code {int(n_seq[i])})")
+    return arrs, n_seq, out_total
+
+
+def parse_blocks(blocks: list[bytes], max_seq: int | None = None):
+    """Parse compressed blocks into per-sequence tables (host, C++).
+
+    List-of-bytes convenience over ``parse_packed``. Returns dict of int32
+    arrays [N, S] + n_seq [N] + out_total [N]. Raises Lz4Error on malformed
+    input.
+    """
     n = len(blocks)
     if max_seq is None:
         # every sequence consumes >= 3 compressed bytes except the last
         max_seq = max(2, max(len(b) for b in blocks) // 3 + 2)
-    shape = (n, max_seq)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    arrs = {k: np.zeros(shape, np.int32)
-            for k in ("lit_out", "lit_src", "lit_len",
-                      "m_out", "m_dist", "m_len")}
-    n_seq = np.zeros(n, np.int32)
-    out_total = np.zeros(n, np.int32)
+    offsets = np.zeros(n, np.int64)
+    lens = np.zeros(n, np.int32)
+    pos = 0
     for i, b in enumerate(blocks):
-        src = (ctypes.c_uint8 * len(b)).from_buffer_copy(b)
-        total = ctypes.c_int32(0)
-        r = lib.tpulz4_parse_sequences(
-            ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8)), len(b), max_seq,
-            *(a[i].ctypes.data_as(i32p) for a in
-              (arrs["lit_out"], arrs["lit_src"], arrs["lit_len"],
-               arrs["m_out"], arrs["m_dist"], arrs["m_len"])),
-            ctypes.byref(total))
-        if r < 0:
-            raise Lz4Error(f"Malformed input in block {i} (parse code {r})")
-        n_seq[i] = r
-        out_total[i] = total.value
-        # sentinel-pad the tails so searchsorted never selects them
-        arrs["lit_out"][i, r:] = _BIG
-        arrs["m_out"][i, r:] = _BIG
-    return arrs, n_seq, out_total
+        offsets[i] = pos
+        lens[i] = len(b)
+        pos += len(b)
+    return parse_packed(b"".join(blocks), offsets, lens, max_seq)
 
 
 def _decode_one(comp, lit_out, lit_src, lit_len, m_out, m_dist, m_len,

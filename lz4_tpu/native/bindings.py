@@ -72,6 +72,15 @@ def load():
             _c_u8p, _i64p, _i32p, _c_u8p, _i64p, ctypes.c_int32,
             _i32p, ctypes.c_int32, ctypes.c_int32]
 
+        lib.tpulz4_parse_sequences.restype = ctypes.c_int
+        lib.tpulz4_parse_sequences.argtypes = [
+            _c_u8p, ctypes.c_int, ctypes.c_int,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p]
+        lib.tpulz4_parse_sequences_batch.argtypes = [
+            _c_u8p, _i64p, _i32p, ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+            _i32p, _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+
         lib.tpulz4_version.restype = ctypes.c_char_p
 
         _lib = lib

@@ -1259,4 +1259,59 @@ TPULZ4_API int tpulz4_parse_sequences(
   return n;
 }
 
+// Batched multithreaded parse: block i's tables land at row i * max_seq of
+// each packed array; returns per-block sequence counts in n_seq_out (negative
+// = error code) and decompressed totals in total_out. One call replaces the
+// per-block ctypes round-trips (the parse feeds the device decode pipelines,
+// so its host cost must stay far below the device copy rate).
+// tail_mode: 0 = leave table tails untouched (caller pre-initialized),
+// 1 = zero the length tails only (segment-executor no-ops),
+// 2 = additionally set lit_out/m_out tails to 1<<30 so searchsorted never
+//     selects them (gather pipeline sentinel)
+TPULZ4_API void tpulz4_parse_sequences_batch(
+    const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
+    int32_t max_seq,
+    int32_t* lit_out, int32_t* lit_src, int32_t* lit_len,
+    int32_t* m_out, int32_t* m_dist, int32_t* m_len,
+    int32_t* n_seq_out, int32_t* total_out,
+    int32_t n_blocks, int32_t n_threads, int32_t tail_mode) {
+  auto work = [&](int t) {
+    for (int i = t; i < n_blocks; i += n_threads) {
+      int64_t row = (int64_t)i * max_seq;
+      int32_t total = 0;
+      int r = tpulz4_parse_sequences(
+          src + src_offsets[i], src_lens[i], max_seq,
+          lit_out + row, lit_src + row, lit_len + row,
+          m_out + row, m_dist + row, m_len + row, &total);
+      n_seq_out[i] = r;
+      total_out[i] = total;
+      if (r >= 0 && tail_mode > 0) {
+        size_t tail = (size_t)(max_seq - r) * sizeof(int32_t);
+        std::memset(lit_len + row + r, 0, tail);
+        std::memset(m_len + row + r, 0, tail);
+        std::memset(lit_src + row + r, 0, tail);
+        std::memset(m_dist + row + r, 0, tail);
+        if (tail_mode > 1) {
+          constexpr int32_t kSentinel = 1 << 30;
+          for (int j = r; j < max_seq; ++j) {
+            lit_out[row + j] = kSentinel;
+            m_out[row + j] = kSentinel;
+          }
+        } else {
+          std::memset(lit_out + row + r, 0, tail);
+          std::memset(m_out + row + r, 0, tail);
+        }
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+}
+
 TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.1.0"; }

@@ -125,3 +125,69 @@ def test_native_offsets(tiers, rng):
     written = nat.safe_decompressor().decompress(dest, 11, n, out, 3, len(data))
     assert written == len(data)
     assert bytes(out[3:3 + len(data)]) == data
+
+
+class TestPackedBatchAPIs:
+    """Zero-copy packed entry points (the bench/pipeline data plane)."""
+
+    def test_packed_roundtrip(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        corpus = calgary["geo"] + calgary["book1"][:100000]
+        comp, offs, lens = ni.compress_fast_packed(corpus, 8192)
+        dec, dlens = ni.decompress_safe_packed(comp, offs, lens, 8192)
+        assert int(dlens.sum()) == len(corpus)
+        assert bytes(dec[:len(corpus)]) == corpus
+
+    def test_packed_matches_list_api(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        corpus = calgary["geo"][:65536]
+        bl = 8192
+        blocks = [corpus[i:i + bl] for i in range(0, len(corpus), bl)]
+        listed = ni.compress_fast_batch(blocks)
+        comp, offs, lens = ni.compress_fast_packed(corpus, bl)
+        got = [bytes(comp[int(offs[i]):int(offs[i]) + int(lens[i])])
+               for i in range(len(lens))]
+        assert got == listed
+
+    def test_packed_dest_reuse(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        corpus = calgary["geo"][:32768]
+        comp, offs, lens = ni.compress_fast_packed(corpus, 4096)
+        dbuf = bytearray(len(lens) * 4096)
+        dec, _ = ni.decompress_safe_packed(comp, offs, lens, 4096, dest=dbuf)
+        assert dec is dbuf
+        assert bytes(dbuf[:len(corpus)]) == corpus
+
+    def test_packed_dest_too_small(self, calgary):
+        import pytest
+        from lz4_tpu.api import native_instances as ni
+        with pytest.raises(ValueError):
+            ni.compress_fast_packed(calgary["geo"][:8192], 4096,
+                                    dest=bytearray(8))
+
+    def test_packed_ragged_last_block(self):
+        from lz4_tpu.api import native_instances as ni
+        corpus = bytes(range(256)) * 33  # 8448 bytes: 2 full + 1 short @4096
+        comp, offs, lens = ni.compress_fast_packed(corpus, 4096)
+        assert len(lens) == 3
+        dec, dlens = ni.decompress_safe_packed(comp, offs, lens, 4096)
+        assert [int(x) for x in dlens] == [4096, 4096, 256]
+        assert bytes(dec[:4096]) == corpus[:4096]
+        assert bytes(dec[8192:8192 + 256]) == corpus[8192:]
+
+    def test_packed_empty(self):
+        from lz4_tpu.api import native_instances as ni
+        comp, offs, lens = ni.compress_fast_packed(b"", 4096)
+        assert len(lens) == 0
+        dec, dlens = ni.decompress_safe_packed(b"", offs, lens, 4096)
+        assert len(dlens) == 0
+
+    def test_packed_malformed_raises(self):
+        import numpy as np
+        import pytest
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.core.errors import Lz4Error
+        bad = b"\xff\x00\x00"
+        with pytest.raises(Lz4Error):
+            ni.decompress_safe_packed(bad, np.zeros(1, np.int64),
+                                      np.array([len(bad)], np.int32), 4096)
