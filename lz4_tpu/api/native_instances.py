@@ -31,11 +31,15 @@ def _base_addr(buf):
         keep = ctypes.c_char_p(buf)
         return ctypes.cast(keep, ctypes.c_void_p).value, (buf, keep)
     if isinstance(buf, memoryview):
+        if not buf.contiguous:
+            buf = memoryview(bytes(buf))
         if buf.readonly:
-            b = bytes(buf)
-            keep = ctypes.c_char_p(b)
-            return ctypes.cast(keep, ctypes.c_void_p).value, (b, keep)
-        buf = buf.obj if isinstance(buf.obj, bytearray) and buf.nbytes == len(buf.obj) else bytearray(buf)
+            # numpy's buffer view is zero-copy even for read-only sources
+            import numpy as np
+            arr = np.frombuffer(buf, np.uint8)
+            return arr.ctypes.data, (buf, arr)
+        arr = (ctypes.c_uint8 * buf.nbytes).from_buffer(buf)
+        return ctypes.addressof(arr), (buf, arr)
     arr = (ctypes.c_uint8 * len(buf)).from_buffer(buf)
     return ctypes.addressof(arr), (buf, arr)
 

@@ -37,12 +37,17 @@ def _new_streaming32():
 
 
 class BatchEngine:
-    """A pair of batched block codecs: list[bytes] -> list[bytes]."""
+    """Batched block codecs: list[bytes] -> list[bytes], plus optional
+    packed entry points (one contiguous buffer each way — the zero-copy
+    data plane the native tier exposes)."""
 
-    def __init__(self, name, compress_batch, decompress_batch):
+    def __init__(self, name, compress_batch, decompress_batch,
+                 compress_packed=None, decompress_packed=None):
         self.name = name
         self.compress_batch = compress_batch
         self.decompress_batch = decompress_batch
+        self.compress_packed = compress_packed
+        self.decompress_packed = decompress_packed
 
     def __repr__(self):
         return f"BatchEngine({self.name})"
@@ -63,7 +68,9 @@ def get_engine(name: str = "fastest") -> BatchEngine:
         return BatchEngine(
             "native",
             ni.compress_fast_batch,
-            lambda blocks, out_max: ni.decompress_safe_batch(blocks, out_max))
+            lambda blocks, out_max: ni.decompress_safe_batch(blocks, out_max),
+            compress_packed=ni.compress_fast_packed,
+            decompress_packed=ni.decompress_safe_packed)
     if name == "pallas":
         from ..api.factory import Lz4Factory
         f = Lz4Factory.pallas_instance()
@@ -121,34 +128,66 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
     w(_U32.pack(MAGIC) + desc + bytes([hc]))
     content_hash = _new_streaming32() if content_checksum else None
 
-    while True:
-        blocks = []
-        while len(blocks) < batch_blocks:
-            chunk = src.read(bs)
+    if engine.compress_packed is not None:
+        # packed fast path: bulk reads, one native call per batch, one
+        # content-hash update per batch, zero-copy payload emission
+        while True:
+            chunk = src.read(bs * batch_blocks)
             if not chunk:
                 break
-            while 0 < len(chunk) < bs:
-                more = src.read(bs - len(chunk))
+            while 0 < len(chunk) < bs * batch_blocks:
+                more = src.read(bs * batch_blocks - len(chunk))
                 if not more:
                     break
                 chunk += more
-            blocks.append(chunk)
-            if len(chunk) < bs:
-                break
-        if not blocks:
-            break
-        compressed = engine.compress_batch(blocks)
-        for raw, comp in zip(blocks, compressed):
             if content_hash is not None:
-                content_hash.update(raw)
-            if len(comp) >= len(raw):
-                w(_U32.pack(len(raw) | INCOMPRESSIBLE_MASK))
-                w(raw)
-            else:
-                w(_U32.pack(len(comp)))
-                w(comp)
-        if len(blocks[-1]) < bs:
-            break
+                content_hash.update(chunk)
+            comp, offs, lens = engine.compress_packed(chunk, bs)
+            cmv = memoryview(comp)
+            rmv = memoryview(chunk)
+            pos = 0
+            for i in range(len(lens)):
+                raw_len = min(bs, len(chunk) - pos)
+                clen = int(lens[i])
+                if clen >= raw_len:
+                    w(_U32.pack(raw_len | INCOMPRESSIBLE_MASK))
+                    w(rmv[pos:pos + raw_len])
+                else:
+                    o = int(offs[i])
+                    w(_U32.pack(clen))
+                    w(cmv[o:o + clen])
+                pos += raw_len
+            if len(chunk) < bs * batch_blocks:
+                break
+    else:
+        while True:
+            blocks = []
+            while len(blocks) < batch_blocks:
+                chunk = src.read(bs)
+                if not chunk:
+                    break
+                while 0 < len(chunk) < bs:
+                    more = src.read(bs - len(chunk))
+                    if not more:
+                        break
+                    chunk += more
+                blocks.append(chunk)
+                if len(chunk) < bs:
+                    break
+            if not blocks:
+                break
+            compressed = engine.compress_batch(blocks)
+            for raw, comp in zip(blocks, compressed):
+                if content_hash is not None:
+                    content_hash.update(raw)
+                if len(comp) >= len(raw):
+                    w(_U32.pack(len(raw) | INCOMPRESSIBLE_MASK))
+                    w(raw)
+                else:
+                    w(_U32.pack(len(comp)))
+                    w(comp)
+            if len(blocks[-1]) < bs:
+                break
 
     w(_U32.pack(0))
     if content_hash is not None:
@@ -213,6 +252,54 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
 
         def flush_pending():
             nonlocal written, total
+            if engine.decompress_packed is not None and pending:
+                # packed fast path: join compressed payloads once, one
+                # native call, zero-copy per-block emission
+                import numpy as np
+                comp_blocks = [p for is_c, p in pending if is_c]
+                if comp_blocks:
+                    packed = b"".join(comp_blocks)
+                    offs = np.zeros(len(comp_blocks), np.int64)
+                    lens = np.zeros(len(comp_blocks), np.int32)
+                    pos = 0
+                    for i, p in enumerate(comp_blocks):
+                        offs[i] = pos
+                        lens[i] = len(p)
+                        pos += len(p)
+                    dest, dlens = engine.decompress_packed(packed, offs,
+                                                           lens, bs)
+                    dmv = memoryview(dest)
+                else:
+                    dlens = []
+                j = 0
+                run_start = 0          # contiguous dest span pending hash
+                run_end = 0
+                for is_c, payload in pending:
+                    if is_c:
+                        raw = dmv[j * bs:j * bs + int(dlens[j])]
+                        if content_hash is not None:
+                            if run_end == j * bs:
+                                run_end = j * bs + int(dlens[j])
+                            else:
+                                if run_end > run_start:
+                                    content_hash.update(dmv[run_start:run_end])
+                                run_start = j * bs
+                                run_end = j * bs + int(dlens[j])
+                        j += 1
+                    else:
+                        raw = payload
+                        if content_hash is not None:
+                            if run_end > run_start:
+                                content_hash.update(dmv[run_start:run_end])
+                            run_start = run_end = j * bs
+                            content_hash.update(payload)
+                    dst.write(raw)
+                    written += len(raw)
+                    total += len(raw)
+                if content_hash is not None and run_end > run_start:
+                    content_hash.update(dmv[run_start:run_end])
+                pending.clear()
+                return
             comp_blocks = [p for is_c, p in pending if is_c]
             decomp = iter(engine.decompress_batch(comp_blocks, bs)
                           if comp_blocks else [])
