@@ -34,7 +34,8 @@ def cmd_compress(args):
     with open(args.input, "rb") as src, open(args.output, "wb") as dst:
         n = compress_stream(src, dst, block_size=args.block_size,
                             engine=args.engine,
-                            content_checksum=not args.no_frame_crc)
+                            content_checksum=not args.no_frame_crc,
+                            level=args.level)
     dt = time.time() - t0
     import os
     in_size = os.path.getsize(args.input)
@@ -111,6 +112,8 @@ def main(argv=None):
     c.add_argument("-B", "--block-size", type=_block_size, default="64KB")
     c.add_argument("--engine", default="fastest",
                    choices=["fastest", "native", "pallas", "sharded", "safe"])
+    c.add_argument("-l", "--level", type=int, default=0,
+                   help="0 = fast scan (default); 1-17 = HC level")
     c.add_argument("--no-frame-crc", action="store_true",
                    help="omit the content checksum")
     c.set_defaults(fn=cmd_compress)

@@ -177,6 +177,41 @@ def compress_fast_packed(src, block_size, n_threads=None, dest=None):
     return dest, dest_offsets, out_lens
 
 
+def compress_hc_packed(src, block_size, level=DEFAULT_COMPRESSION_LEVEL,
+                       n_threads=None, dest=None):
+    """HC variant of :func:`compress_fast_packed` (levels 1-17)."""
+    import os
+    import numpy as np
+    total = len(src)
+    if total == 0:
+        return bytearray(), np.zeros(0, np.int64), np.zeros(0, np.int32)
+    n = (total + block_size - 1) // block_size
+    n_threads = n_threads or min(os.cpu_count() or 1, n)
+    src_offsets = np.arange(n, dtype=np.int64) * block_size
+    src_lens = np.full(n, block_size, np.int32)
+    src_lens[-1] = total - (n - 1) * block_size
+    cap = max_compressed_length(block_size)
+    if dest is None:
+        dest = bytearray(n * cap)
+    elif len(dest) < n * cap:
+        raise ValueError(f"dest too small: need {n * cap}, got {len(dest)}")
+    dest_offsets = np.arange(n, dtype=np.int64) * cap
+    out_lens = np.zeros(n, np.int32)
+    s_addr, s_keep = _base_addr(src)
+    d_addr, d_keep = _wbase_addr(dest)
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _lib.tpulz4_compress_hc_batch(
+        _ptr(s_addr, 0), src_offsets.ctypes.data_as(_i64p),
+        src_lens.ctypes.data_as(_i32p), _ptr(d_addr, 0),
+        dest_offsets.ctypes.data_as(_i64p), cap,
+        out_lens.ctypes.data_as(_i32p), n, n_threads, level)
+    del s_keep, d_keep
+    if (out_lens < 0).any():
+        _raise_error(int(out_lens[out_lens < 0][0]), "compress_hc_packed")
+    return dest, dest_offsets, out_lens
+
+
 def decompress_safe_packed(comp, comp_offsets, comp_lens, out_max,
                            n_threads=None, dest=None):
     """Decompress packed blocks into one contiguous buffer, zero-copy.
@@ -403,3 +438,89 @@ class StreamingXXH64(StreamingXXHash64):
             self.close()
         except Exception:
             pass
+
+
+# ---- one-shot frame codec (native runtime) ----
+
+F_CONTENT_CHECKSUM = 1
+F_BLOCK_CHECKSUM = 2
+F_CONTENT_SIZE = 4
+
+
+def _raise_frame_error(code: int, what: str):
+    # messages match the pure-Python frame reader (tests pin the phrasing,
+    # which itself mirrors LZ4FrameInputStream's errors)
+    from ..core.errors import Lz4FrameError
+    if code == bindings.E_FRAME:
+        raise Lz4FrameError(f"Malformed frame ({what})")
+    if code == bindings.E_CHECKSUM:
+        raise Lz4FrameError(f"Checksum mismatch ({what})")
+    if code == bindings.E_FRAME_VERSION:
+        raise Lz4FrameError("Frame version is unsupported")
+    if code == bindings.E_FRAME_DEPENDENT:
+        raise Lz4FrameError(
+            "Dependent block stream is unsupported "
+            "(BLOCK_INDEPENDENCE must be set)")
+    if code == bindings.E_FRAME_RESERVED:
+        raise Lz4FrameError("Reserved bits/fields must be 0")
+    if code == bindings.E_FRAME_BLOCKSIZE:
+        raise Lz4FrameError("Block size must be 4-7")
+    if code == bindings.E_FRAME_BLOCK_TOO_BIG:
+        raise Lz4FrameError("Block size exceeded max block size")
+    _raise_error(code, what)
+
+
+def compress_frame_packed(data, block_size_id: int = 7, flags: int = 0,
+                          level: int = 0, n_threads=None) -> bytes:
+    """One native call: block-split, compress (threaded), assemble frame.
+
+    ``level`` 0 = fast scan, 1..17 = HC. ``flags`` is a bitmask of
+    F_CONTENT_CHECKSUM / F_BLOCK_CHECKSUM / F_CONTENT_SIZE. Byte-identical
+    to the Python frame writer with the same options.
+    """
+    import os
+    n_threads = n_threads or (os.cpu_count() or 1)
+    bound = _lib.tpulz4_frame_compress_bound(len(data), block_size_id)
+    if bound < 0:
+        _raise_frame_error(int(bound), "frame_compress_bound")
+    dest = bytearray(int(bound))
+    s_addr, s_keep = _base_addr(data)
+    d_addr, d_keep = _wbase_addr(dest)
+    n = _lib.tpulz4_frame_compress(
+        _ptr(s_addr, 0), len(data), block_size_id, flags, level,
+        _ptr(d_addr, 0), len(dest), n_threads)
+    del s_keep, d_keep
+    if n < 0:
+        _raise_frame_error(int(n), "frame_compress")
+    del dest[int(n):]
+    return bytes(dest)
+
+
+def decompress_frame_packed(data, dest_cap: int | None = None,
+                            single_frame: bool = False,
+                            n_threads=None):
+    """One native call: parse frame(s), threaded block decode, verify.
+
+    Handles concatenated and skippable frames. Returns
+    ``(bytes, consumed)``. Grows the output buffer and retries if the
+    initial capacity guess is short.
+    """
+    import os
+    n_threads = n_threads or (os.cpu_count() or 1)
+    cap = dest_cap or max(4 * len(data), 1 << 20)
+    consumed = ctypes.c_int64(0)
+    while True:
+        dest = bytearray(cap)
+        s_addr, s_keep = _base_addr(data)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_frame_decompress(
+            _ptr(s_addr, 0), len(data), _ptr(d_addr, 0), cap,
+            n_threads, 1 if single_frame else 0, ctypes.byref(consumed))
+        del s_keep, d_keep
+        if n == bindings.E_DEST_TOO_SMALL and dest_cap is None:
+            cap *= 4
+            continue
+        if n < 0:
+            _raise_frame_error(int(n), "frame_decompress")
+        del dest[int(n):]
+        return bytes(dest), int(consumed.value)

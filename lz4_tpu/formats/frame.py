@@ -357,7 +357,26 @@ class Lz4FrameInputStream(io.RawIOBase):
 def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
                    features: tuple[FrameFlag, ...] = DEFAULT_FEATURES,
                    known_size: bool = False, compressor=None) -> bytes:
-    """One-shot: wrap ``data`` in a complete LZ4 frame."""
+    """One-shot: wrap ``data`` in a complete LZ4 frame.
+
+    Routed through the native one-call frame codec (threaded block compress
+    + header assembly in C++, byte-identical output) when the native tier
+    is available and no custom compressor was supplied.
+    """
+    if compressor is None:
+        try:
+            from ..api import native_instances as ni
+            flags = 0
+            fl = frozenset(features)
+            if FrameFlag.CONTENT_CHECKSUM in fl:
+                flags |= ni.F_CONTENT_CHECKSUM
+            if FrameFlag.BLOCK_CHECKSUM in fl:
+                flags |= ni.F_BLOCK_CHECKSUM
+            if known_size or FrameFlag.CONTENT_SIZE in fl:
+                flags |= ni.F_CONTENT_SIZE
+            return ni.compress_frame_packed(data, int(block_size), flags)
+        except ImportError:
+            pass
     out = io.BytesIO()
     stream = Lz4FrameOutputStream(
         out, block_size=block_size,
@@ -369,7 +388,18 @@ def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
 
 
 def decompress_frame(data, read_single_frame: bool = False) -> bytes:
-    """One-shot: decode one or more concatenated LZ4 frames."""
+    """One-shot: decode one or more concatenated LZ4 frames.
+
+    Routed through the native one-call frame codec (parse + threaded block
+    decode + checksum verification in C++) when available.
+    """
+    try:
+        from ..api import native_instances as ni
+        out, _ = ni.decompress_frame_packed(bytes(data),
+                                            single_frame=read_single_frame)
+        return out
+    except ImportError:
+        pass
     stream = Lz4FrameInputStream(io.BytesIO(data),
                                  read_single_frame=read_single_frame)
     return stream.read()

@@ -19,6 +19,13 @@ _c_u8p = ctypes.POINTER(ctypes.c_uint8)
 E_DEST_TOO_SMALL = -1
 E_MALFORMED = -2
 E_PARAM = -3
+E_FRAME = -4
+E_CHECKSUM = -5
+E_FRAME_VERSION = -6
+E_FRAME_DEPENDENT = -7
+E_FRAME_RESERVED = -8
+E_FRAME_BLOCKSIZE = -9
+E_FRAME_BLOCK_TOO_BIG = -10
 
 
 def load():
@@ -68,6 +75,9 @@ def load():
         lib.tpulz4_compress_fast_batch.argtypes = [
             _c_u8p, _i64p, _i32p, _c_u8p, _i64p, ctypes.c_int32,
             _i32p, ctypes.c_int32, ctypes.c_int32]
+        lib.tpulz4_compress_hc_batch.argtypes = [
+            _c_u8p, _i64p, _i32p, _c_u8p, _i64p, ctypes.c_int32,
+            _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.tpulz4_decompress_safe_batch.argtypes = [
             _c_u8p, _i64p, _i32p, _c_u8p, _i64p, ctypes.c_int32,
             _i32p, ctypes.c_int32, ctypes.c_int32]
@@ -80,6 +90,18 @@ def load():
             _c_u8p, _i64p, _i32p, ctypes.c_int32,
             _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
             _i32p, _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+
+        lib.tpulz4_frame_compress_bound.restype = ctypes.c_int64
+        lib.tpulz4_frame_compress_bound.argtypes = [ctypes.c_int64,
+                                                    ctypes.c_int32]
+        lib.tpulz4_frame_compress.restype = ctypes.c_int64
+        lib.tpulz4_frame_compress.argtypes = [
+            _c_u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, _c_u8p, ctypes.c_int64, ctypes.c_int32]
+        lib.tpulz4_frame_decompress.restype = ctypes.c_int64
+        lib.tpulz4_frame_decompress.argtypes = [
+            _c_u8p, ctypes.c_int64, _c_u8p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _i64p]
 
         lib.tpulz4_version.restype = ctypes.c_char_p
 

@@ -1152,6 +1152,27 @@ TPULZ4_API void tpulz4_compress_fast_batch(
   for (auto& th : threads) th.join();
 }
 
+TPULZ4_API void tpulz4_compress_hc_batch(
+    const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
+    uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
+    int32_t* out_lens, int32_t n_blocks, int32_t n_threads, int32_t level) {
+  auto work = [&](int t) {
+    for (int i = t; i < n_blocks; i += n_threads) {
+      out_lens[i] = tpulz4_compress_hc(src + src_offsets[i], src_lens[i],
+                                       dest + dest_offsets[i],
+                                       max_dest_len_each, level);
+    }
+  };
+  if (n_threads <= 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& th : threads) th.join();
+}
+
 TPULZ4_API void tpulz4_decompress_safe_batch(
     const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
     uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
@@ -1312,6 +1333,281 @@ TPULZ4_API void tpulz4_parse_sequences_batch(
   threads.reserve(n_threads);
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
   for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// one-shot LZ4 Frame codec (native runtime: header assembly, multithreaded
+// block codec, checksums and validation in a single call)
+// ---------------------------------------------------------------------------
+//
+// Byte-compatible with formats/frame.py and the reference stream classes
+// (LZ4FrameOutputStream.java:50-120,177-306, LZ4FrameInputStream.java:132-345).
+// flags bits below mirror the FLG bit positions minus fixed version/indep.
+
+constexpr int TPULZ4_E_FRAME = -4;
+constexpr int TPULZ4_E_CHECKSUM = -5;
+// header-validation sub-codes (the Python layer maps these to the same
+// error messages the pure-Python reader raises, which tests pin)
+constexpr int TPULZ4_E_FRAME_VERSION = -6;
+constexpr int TPULZ4_E_FRAME_DEPENDENT = -7;
+constexpr int TPULZ4_E_FRAME_RESERVED = -8;
+constexpr int TPULZ4_E_FRAME_BLOCKSIZE = -9;
+constexpr int TPULZ4_E_FRAME_BLOCK_TOO_BIG = -10;
+
+constexpr uint32_t FRAME_MAGIC = 0x184D2204u;
+constexpr uint32_t FRAME_MAGIC_SKIPPABLE = 0x184D2A50u;
+constexpr uint32_t FRAME_INCOMPRESSIBLE = 0x80000000u;
+constexpr int TPULZ4F_CONTENT_CHECKSUM = 1;
+constexpr int TPULZ4F_BLOCK_CHECKSUM = 2;
+constexpr int TPULZ4F_CONTENT_SIZE = 4;
+
+namespace frame {
+
+inline void write_u32(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
+inline uint32_t read_u32(const uint8_t* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+
+template <typename F>
+void parallel_for(int n, int n_threads, F f) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int i = 0; i < n; ++i) f(i);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t)
+    ts.emplace_back([&, t] { for (int i = t; i < n; i += n_threads) f(i); });
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace frame
+
+TPULZ4_API int64_t tpulz4_frame_compress_bound(int64_t raw_len,
+                                               int32_t block_size_id) {
+  if (block_size_id < 4 || block_size_id > 7 || raw_len < 0) return TPULZ4_E_PARAM;
+  int64_t bs = (int64_t)1 << (2 * block_size_id + 8);
+  int64_t n = raw_len ? (raw_len + bs - 1) / bs : 0;
+  int64_t per_block = 4 + tpulz4_max_compressed_length((int)bs) + 4;
+  return 15 + n * per_block + 8;
+}
+
+// Compress `raw` into one complete LZ4 frame. level 0 = fast scan,
+// 1..17 = HC. Returns frame length or a negative error code.
+TPULZ4_API int64_t tpulz4_frame_compress(
+    const uint8_t* raw, int64_t raw_len, int32_t block_size_id,
+    int32_t flags, int32_t level, uint8_t* dest, int64_t dest_cap,
+    int32_t n_threads) {
+  if (block_size_id < 4 || block_size_id > 7 || raw_len < 0)
+    return TPULZ4_E_PARAM;
+  if (dest_cap < tpulz4_frame_compress_bound(raw_len, block_size_id))
+    return TPULZ4_E_DEST_TOO_SMALL;
+  const int64_t bs = (int64_t)1 << (2 * block_size_id + 8);
+  const int n = raw_len ? (int)((raw_len + bs - 1) / bs) : 0;
+  const int cap = tpulz4_max_compressed_length((int)bs);
+
+  // header
+  int64_t d = 0;
+  frame::write_u32(dest + d, FRAME_MAGIC);
+  d += 4;
+  int64_t desc_off = d;
+  uint8_t flg = (1 << 6) | (1 << 5);  // version 1, block independence
+  if (flags & TPULZ4F_CONTENT_CHECKSUM) flg |= 1 << 2;
+  if (flags & TPULZ4F_CONTENT_SIZE) flg |= 1 << 3;
+  if (flags & TPULZ4F_BLOCK_CHECKSUM) flg |= 1 << 4;
+  dest[d++] = flg;
+  dest[d++] = (uint8_t)(block_size_id << 4);
+  if (flags & TPULZ4F_CONTENT_SIZE) {
+    uint64_t sz = (uint64_t)raw_len;
+    std::memcpy(dest + d, &sz, 8);
+    d += 8;
+  }
+  dest[d] = (uint8_t)(tpulz4_xxh32(dest + desc_off, d - desc_off, 0) >> 8);
+  ++d;
+
+  // parallel block compress into scratch (per-block stride = cap)
+  std::vector<uint8_t> scratch((size_t)n * cap);
+  std::vector<int32_t> clens(n);
+  frame::parallel_for(n, n_threads, [&](int i) {
+    int64_t off = (int64_t)i * bs;
+    int len = (int)(raw_len - off < bs ? raw_len - off : bs);
+    if (level <= 0) {
+      clens[i] = tpulz4_compress_fast(raw + off, len,
+                                      scratch.data() + (size_t)i * cap, cap);
+    } else {
+      clens[i] = tpulz4_compress_hc(raw + off, len,
+                                    scratch.data() + (size_t)i * cap, cap,
+                                    level);
+    }
+  });
+
+  // serial emission (memcpy-bound)
+  for (int i = 0; i < n; ++i) {
+    if (clens[i] < 0) return clens[i];
+    int64_t off = (int64_t)i * bs;
+    int raw_block = (int)(raw_len - off < bs ? raw_len - off : bs);
+    const uint8_t* payload;
+    uint32_t word;
+    int plen;
+    if (clens[i] >= raw_block) {  // incompressible: store raw
+      payload = raw + off;
+      plen = raw_block;
+      word = (uint32_t)raw_block | FRAME_INCOMPRESSIBLE;
+    } else {
+      payload = scratch.data() + (size_t)i * cap;
+      plen = clens[i];
+      word = (uint32_t)plen;
+    }
+    frame::write_u32(dest + d, word);
+    d += 4;
+    std::memcpy(dest + d, payload, plen);
+    d += plen;
+    if (flags & TPULZ4F_BLOCK_CHECKSUM) {
+      frame::write_u32(dest + d, tpulz4_xxh32(payload, plen, 0));
+      d += 4;
+    }
+  }
+
+  frame::write_u32(dest + d, 0);  // end mark
+  d += 4;
+  if (flags & TPULZ4F_CONTENT_CHECKSUM) {
+    frame::write_u32(dest + d, tpulz4_xxh32(raw, raw_len, 0));
+    d += 4;
+  }
+  return d;
+}
+
+// Decompress one or more concatenated LZ4 frames (skippable frames are
+// skipped). Returns total decompressed length or a negative error;
+// *consumed_out reports source bytes eaten. single_frame stops after the
+// first complete data frame (LZ4FrameInputStream.java:416-445 semantics).
+TPULZ4_API int64_t tpulz4_frame_decompress(
+    const uint8_t* src, int64_t src_len, uint8_t* dest, int64_t dest_cap,
+    int32_t n_threads, int32_t single_frame, int64_t* consumed_out) {
+  int64_t s = 0, d = 0;
+  bool first = true;
+  while (s < src_len) {
+    if (s + 4 > src_len) {
+      if (first) return TPULZ4_E_FRAME;
+      break;
+    }
+    uint32_t magic = frame::read_u32(src + s);
+    if ((magic & 0xFFFFFFF0u) == FRAME_MAGIC_SKIPPABLE) {
+      if (s + 8 > src_len) return TPULZ4_E_FRAME;
+      uint32_t skip = frame::read_u32(src + s + 4);
+      if (s + 8 + (int64_t)skip > src_len) return TPULZ4_E_FRAME;
+      s += 8 + skip;
+      first = false;
+      continue;
+    }
+    if (magic != FRAME_MAGIC) {
+      if (first) return TPULZ4_E_FRAME;
+      break;  // trailing garbage after at least one frame: stop cleanly
+    }
+    s += 4;
+    first = false;
+
+    // descriptor
+    int64_t desc_off = s;
+    if (s + 2 > src_len) return TPULZ4_E_FRAME;
+    uint8_t flg = src[s];
+    uint8_t bd = src[s + 1];
+    s += 2;
+    if (((flg >> 6) & 3) != 1) return TPULZ4_E_FRAME_VERSION;
+    if (flg & 0b11) return TPULZ4_E_FRAME_RESERVED;
+    if (!(flg & (1 << 5))) return TPULZ4_E_FRAME_DEPENDENT;
+    if (bd & 0x8F) return TPULZ4_E_FRAME_RESERVED;
+    int bsid = (bd >> 4) & 7;
+    if (bsid < 4 || bsid > 7) return TPULZ4_E_FRAME_BLOCKSIZE;
+    const int64_t bs = (int64_t)1 << (2 * bsid + 8);
+    bool has_csize = flg & (1 << 3);
+    bool has_bsum = flg & (1 << 4);
+    bool has_csum = flg & (1 << 2);
+    uint64_t expected_size = ~0ull;
+    if (has_csize) {
+      if (s + 8 > src_len) return TPULZ4_E_FRAME;
+      std::memcpy(&expected_size, src + s, 8);
+      s += 8;
+    }
+    if (s + 1 > src_len) return TPULZ4_E_FRAME;
+    uint8_t hc = src[s++];
+    if ((uint8_t)(tpulz4_xxh32(src + desc_off, s - 1 - desc_off, 0) >> 8) != hc)
+      return TPULZ4_E_CHECKSUM;
+
+    // block table walk
+    struct Blk { int64_t off; int32_t len; bool compressed; };
+    std::vector<Blk> blocks;
+    for (;;) {
+      if (s + 4 > src_len) return TPULZ4_E_FRAME;
+      uint32_t word = frame::read_u32(src + s);
+      s += 4;
+      if (word == 0) break;  // end mark
+      bool compressed = !(word & FRAME_INCOMPRESSIBLE);
+      int32_t len = (int32_t)(word & ~FRAME_INCOMPRESSIBLE);
+      if (len > bs) return TPULZ4_E_FRAME_BLOCK_TOO_BIG;
+      if (s + len > src_len) return TPULZ4_E_FRAME;
+      blocks.push_back({s, len, compressed});
+      s += len;
+      if (has_bsum) {
+        if (s + 4 > src_len) return TPULZ4_E_FRAME;
+        if (frame::read_u32(src + s) != tpulz4_xxh32(src + blocks.back().off, len, 0))
+          return TPULZ4_E_CHECKSUM;
+        s += 4;
+      }
+    }
+
+    // parallel decompress at stride bs into dest (order-preserving compact
+    // afterwards if any interior block decodes short)
+    const int n = (int)blocks.size();
+    const int64_t frame_dest = d;
+    std::vector<int32_t> dlens(n, 0);
+    std::vector<int32_t> errs(n, 0);
+    frame::parallel_for(n, n_threads, [&](int i) {
+      // stride-bs layout; every block clamps to the remaining capacity, so
+      // an undersized dest surfaces as E_DEST_TOO_SMALL from the block
+      int64_t out_off = frame_dest + (int64_t)i * bs;
+      int64_t room = dest_cap - out_off;
+      int out_max = (int)(room < bs ? (room < 0 ? 0 : room) : bs);
+      if (out_max == 0 && blocks[i].len > 0) {
+        errs[i] = TPULZ4_E_DEST_TOO_SMALL;
+        return;
+      }
+      if (blocks[i].compressed) {
+        int r = tpulz4_decompress_safe(src + blocks[i].off, blocks[i].len,
+                                       dest + out_off, out_max);
+        if (r < 0) errs[i] = r; else dlens[i] = r;
+      } else {
+        if (blocks[i].len > out_max) { errs[i] = TPULZ4_E_DEST_TOO_SMALL; return; }
+        std::memcpy(dest + out_off, src + blocks[i].off, blocks[i].len);
+        dlens[i] = blocks[i].len;
+      }
+    });
+    for (int i = 0; i < n; ++i)
+      if (errs[i] < 0) return errs[i];
+
+    // compact left if any interior block is short (rare; frames we and the
+    // CLI produce have full interior blocks)
+    int64_t w = frame_dest;
+    for (int i = 0; i < n; ++i) {
+      int64_t out_off = frame_dest + (int64_t)i * bs;
+      if (w != out_off && dlens[i] > 0)
+        std::memmove(dest + w, dest + out_off, dlens[i]);
+      w += dlens[i];
+    }
+    int64_t frame_total = w - frame_dest;
+    d = w;
+
+    if (has_csum) {
+      if (s + 4 > src_len) return TPULZ4_E_FRAME;
+      uint32_t expect = frame::read_u32(src + s);
+      s += 4;
+      if (expect != tpulz4_xxh32(dest + frame_dest, frame_total, 0))
+        return TPULZ4_E_CHECKSUM;
+    }
+    if (has_csize && expected_size != (uint64_t)frame_total)
+      return TPULZ4_E_FRAME;
+    if (single_frame) break;
+  }
+  if (consumed_out) *consumed_out = s;
+  return d;
 }
 
 TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.1.0"; }

@@ -102,14 +102,33 @@ def get_engine(name: str = "fastest") -> BatchEngine:
 def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
                     engine: BatchEngine | str = "fastest",
                     content_checksum: bool = True,
-                    batch_blocks: int = 256) -> int:
+                    batch_blocks: int = 256, level: int = 0) -> int:
     """Compress a binary stream into an LZ4 frame on ``dst``.
 
     Reads ``batch_blocks`` blocks at a time and compresses them as one batch
-    through the engine. Returns the number of compressed bytes written.
+    through the engine. ``level`` 0 selects the fast-scan compressor;
+    1-17 selects HC at that level (LZ4Factory.highCompressor semantics).
+    Returns the number of compressed bytes written.
     """
     if isinstance(engine, str):
         engine = get_engine(engine)
+    if level > 0:
+        import functools
+        from ..api.factory import Lz4Factory
+        try:
+            from ..api import native_instances as ni
+            engine = BatchEngine(
+                f"{engine.name}-hc{level}", engine.compress_batch,
+                engine.decompress_batch,
+                compress_packed=functools.partial(ni.compress_hc_packed,
+                                                  level=level),
+                decompress_packed=engine.decompress_packed)
+        except ImportError:
+            hc = Lz4Factory.fastest_instance().high_compressor(level)
+            engine = BatchEngine(
+                f"{engine.name}-hc{level}",
+                lambda blocks: [hc.compress_alloc(b) for b in blocks],
+                engine.decompress_batch)
     bs = block_size.num_bytes
     flags = {FrameFlag.BLOCK_INDEPENDENCE}
     if content_checksum:

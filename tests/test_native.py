@@ -191,3 +191,144 @@ class TestPackedBatchAPIs:
         with pytest.raises(Lz4Error):
             ni.decompress_safe_packed(bad, np.zeros(1, np.int64),
                                       np.array([len(bad)], np.int32), 4096)
+
+
+class TestNativeFrameCodec:
+    """One-call native frame codec vs the Python writer/reader."""
+
+    def _corpus(self, calgary):
+        return calgary["book1"][:200000]
+
+    def test_byte_parity_with_python_writer(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.formats import frame as fr
+        from lz4_tpu.formats.frame import BlockSize, FrameFlag
+        import io
+        data = self._corpus(calgary)
+        cases = [
+            (7, 0, (FrameFlag.BLOCK_INDEPENDENCE,), False),
+            (4, ni.F_CONTENT_CHECKSUM,
+             (FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM), False),
+            (5, ni.F_CONTENT_CHECKSUM | ni.F_BLOCK_CHECKSUM,
+             (FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM,
+              FrameFlag.BLOCK_CHECKSUM), False),
+            (4, ni.F_CONTENT_SIZE,
+             (FrameFlag.BLOCK_INDEPENDENCE,), True),
+        ]
+        for bsid, flags, feats, known in cases:
+            nat = ni.compress_frame_packed(data, bsid, flags)
+            out = io.BytesIO()
+            s = fr.Lz4FrameOutputStream(out, block_size=BlockSize(bsid),
+                                        known_size=len(data) if known else -1,
+                                        features=feats)
+            s.write(data)
+            s.close_keep_underlying()
+            assert nat == out.getvalue(), (bsid, flags)
+
+    def test_roundtrip_and_python_reader(self, calgary):
+        import io
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.formats import frame as fr
+        data = self._corpus(calgary)
+        nat = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
+        out, consumed = ni.decompress_frame_packed(nat)
+        assert out == data and consumed == len(nat)
+        # Python stream reader agrees
+        assert fr.Lz4FrameInputStream(io.BytesIO(nat)).read() == data
+
+    def test_concatenated_and_skippable(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.formats.frame import make_skippable_frame
+        a = ni.compress_frame_packed(b"first", 4, 0)
+        sk = make_skippable_frame(b"ignored payload")
+        b = ni.compress_frame_packed(b"second", 4, ni.F_CONTENT_CHECKSUM)
+        out, consumed = ni.decompress_frame_packed(a + sk + b)
+        assert out == b"firstsecond" and consumed == len(a + sk + b)
+        out1, c1 = ni.decompress_frame_packed(a + sk + b, single_frame=True)
+        assert out1 == b"first" and c1 == len(a)
+
+    def test_empty_and_hc(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        data = self._corpus(calgary)
+        e = ni.compress_frame_packed(b"", 4, ni.F_CONTENT_CHECKSUM)
+        assert ni.decompress_frame_packed(e)[0] == b""
+        hc = ni.compress_frame_packed(data, 4, 0, level=9)
+        fast = ni.compress_frame_packed(data, 4, 0)
+        assert len(hc) < len(fast)
+        assert ni.decompress_frame_packed(hc)[0] == data
+
+    def test_dest_growth_retry(self, calgary):
+        # tiny initial guess must grow transparently
+        from lz4_tpu.api import native_instances as ni
+        data = bytes(1000000)  # ratio << 1 so 4x input guess is too small
+        nat = ni.compress_frame_packed(data, 4, 0)
+        out, _ = ni.decompress_frame_packed(nat)
+        assert out == data
+
+    def test_corruption_raises(self, calgary):
+        import pytest
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.core.errors import Lz4FrameError
+        data = self._corpus(calgary)
+        good = bytearray(ni.compress_frame_packed(data, 4,
+                                                  ni.F_CONTENT_CHECKSUM))
+        bad = bytearray(good); bad[5] ^= 0x01  # descriptor bit
+        with pytest.raises(Lz4FrameError):
+            ni.decompress_frame_packed(bytes(bad))
+        bad = bytearray(good); bad[200] ^= 0xFF  # payload byte
+        with pytest.raises(Lz4FrameError):
+            ni.decompress_frame_packed(bytes(bad))
+        with pytest.raises(Lz4FrameError):
+            ni.decompress_frame_packed(b"not a frame at all")
+
+    def test_upstream_interop(self, calgary):
+        import ctypes
+        try:
+            lib = ctypes.CDLL("liblz4.so.1")
+        except OSError:
+            import pytest
+            pytest.skip("liblz4 absent")
+        from lz4_tpu.api import native_instances as ni
+        data = self._corpus(calgary)
+        nat = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
+        # upstream decode via LZ4F
+        ctx = ctypes.c_void_p()
+        lib.LZ4F_createDecompressionContext(ctypes.byref(ctx), 100)
+        dst = ctypes.create_string_buffer(len(data) + 64)
+        out = bytearray(); pos = 0
+        while pos < len(nat):
+            ds = ctypes.c_size_t(len(dst)); ss = ctypes.c_size_t(len(nat) - pos)
+            r = lib.LZ4F_decompress(ctx, dst, ctypes.byref(ds), nat[pos:],
+                                    ctypes.byref(ss), None)
+            assert not lib.LZ4F_isError(r)
+            out += dst.raw[:ds.value]; pos += ss.value
+            if r == 0:
+                break
+        lib.LZ4F_freeDecompressionContext(ctx)
+        assert bytes(out) == data
+
+
+class TestHcPackedBatch:
+    def test_parity_with_instance_api(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        data = calgary["geo"][:65536]
+        for level in (1, 9, 17):
+            comp, offs, lens = ni.compress_hc_packed(data, 8192, level=level)
+            hc = ni.HighCompressor(level)
+            for i in range(len(lens)):
+                o, l = int(offs[i]), int(lens[i])
+                ref = hc.compress_alloc(data[i * 8192:(i + 1) * 8192])
+                assert bytes(comp[o:o + l]) == bytes(ref)
+
+    def test_stream_level(self, calgary):
+        import io
+        from lz4_tpu.streams import pipeline
+        data = calgary["geo"]
+        hc_dst = io.BytesIO()
+        pipeline.compress_stream(io.BytesIO(data), hc_dst, level=9)
+        fast_dst = io.BytesIO()
+        pipeline.compress_stream(io.BytesIO(data), fast_dst)
+        assert len(hc_dst.getvalue()) < len(fast_dst.getvalue())
+        out = io.BytesIO()
+        pipeline.decompress_stream(io.BytesIO(hc_dst.getvalue()), out)
+        assert out.getvalue() == data
