@@ -524,3 +524,54 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
             _raise_frame_error(int(n), "frame_decompress")
         del dest[int(n):]
         return bytes(dest), int(consumed.value)
+
+
+def compress_block_stream_packed(data, block_size: int = 1 << 16,
+                                 n_threads=None) -> bytes:
+    """One native call: complete LZ4Block stream (blocks + end marker).
+
+    Byte-identical to ``Lz4BlockOutputStream`` with default compressor and
+    checksum (fast scan; xxh32 seed 0x9747b28c masked to 28 bits).
+    """
+    import os
+    n_threads = n_threads or (os.cpu_count() or 1)
+    bound = _lib.tpulz4_blockstream_compress_bound(len(data), block_size)
+    if bound < 0:
+        _raise_error(int(bound), "blockstream_compress_bound")
+    dest = bytearray(int(bound))
+    s_addr, s_keep = _base_addr(data)
+    d_addr, d_keep = _wbase_addr(dest)
+    n = _lib.tpulz4_blockstream_compress(
+        _ptr(s_addr, 0), len(data), block_size, _ptr(d_addr, 0), len(dest),
+        n_threads)
+    del s_keep, d_keep
+    if n < 0:
+        _raise_frame_error(int(n), "blockstream_compress")
+    del dest[int(n):]
+    return bytes(dest)
+
+
+def decompress_block_stream_packed(data, dest_cap: int | None = None,
+                                   stop_on_empty_block: bool = True,
+                                   n_threads=None):
+    """One native call: decode an LZ4Block stream (threaded blocks,
+    checksum verification). Returns ``(bytes, consumed)``."""
+    import os
+    n_threads = n_threads or (os.cpu_count() or 1)
+    cap = dest_cap or max(4 * len(data), 1 << 20)
+    consumed = ctypes.c_int64(0)
+    while True:
+        dest = bytearray(cap)
+        s_addr, s_keep = _base_addr(data)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_blockstream_decompress(
+            _ptr(s_addr, 0), len(data), _ptr(d_addr, 0), cap, n_threads,
+            1 if stop_on_empty_block else 0, ctypes.byref(consumed))
+        del s_keep, d_keep
+        if n == bindings.E_DEST_TOO_SMALL and dest_cap is None:
+            cap *= 4
+            continue
+        if n < 0:
+            _raise_frame_error(int(n), "blockstream_decompress")
+        del dest[int(n):]
+        return bytes(dest), int(consumed.value)

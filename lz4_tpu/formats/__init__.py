@@ -5,7 +5,8 @@ from .frame import (
     BlockSize, FrameFlag, Lz4FrameInputStream, Lz4FrameOutputStream,
     compress_frame, decompress_frame, make_skippable_frame,
 )
-from .block_stream import Lz4BlockInputStream, Lz4BlockOutputStream
+from .block_stream import (Lz4BlockInputStream, Lz4BlockOutputStream,
+                           compress_block_stream, decompress_block_stream)
 from .with_length import (
     Lz4CompressorWithLength, Lz4DecompressorWithLength, get_decompressed_length,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "BlockSize", "FrameFlag", "Lz4FrameInputStream", "Lz4FrameOutputStream",
     "compress_frame", "decompress_frame", "make_skippable_frame",
     "Lz4BlockInputStream", "Lz4BlockOutputStream",
+    "compress_block_stream", "decompress_block_stream",
     "Lz4CompressorWithLength", "Lz4DecompressorWithLength",
     "get_decompressed_length",
 ]

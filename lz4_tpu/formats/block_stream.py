@@ -246,3 +246,34 @@ class Lz4BlockInputStream(io.RawIOBase):
         data = self.read(len(b))
         b[:len(data)] = data
         return len(data)
+
+
+def compress_block_stream(data, block_size: int = 1 << 16) -> bytes:
+    """One-shot: wrap ``data`` in a complete LZ4Block stream.
+
+    Routed through the native one-call codec (threaded blocks in C++,
+    byte-identical output) when available.
+    """
+    try:
+        from ..api import native_instances as ni
+        return ni.compress_block_stream_packed(data, block_size)
+    except ImportError:
+        out = io.BytesIO()
+        s = Lz4BlockOutputStream(out, block_size=block_size)
+        s.write(data)
+        s.finish()
+        return out.getvalue()
+
+
+def decompress_block_stream(data, stop_on_empty_block: bool = True) -> bytes:
+    """One-shot: decode an LZ4Block stream (concatenated streams supported
+    with ``stop_on_empty_block=False``)."""
+    try:
+        from ..api import native_instances as ni
+        out, _ = ni.decompress_block_stream_packed(
+            bytes(data), stop_on_empty_block=stop_on_empty_block)
+        return out
+    except ImportError:
+        return Lz4BlockInputStream(
+            io.BytesIO(data),
+            stop_on_empty_block=stop_on_empty_block).read()

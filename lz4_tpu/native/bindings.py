@@ -103,6 +103,18 @@ def load():
             _c_u8p, ctypes.c_int64, _c_u8p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, _i64p]
 
+        lib.tpulz4_blockstream_compress_bound.restype = ctypes.c_int64
+        lib.tpulz4_blockstream_compress_bound.argtypes = [ctypes.c_int64,
+                                                          ctypes.c_int32]
+        lib.tpulz4_blockstream_compress.restype = ctypes.c_int64
+        lib.tpulz4_blockstream_compress.argtypes = [
+            _c_u8p, ctypes.c_int64, ctypes.c_int32,
+            _c_u8p, ctypes.c_int64, ctypes.c_int32]
+        lib.tpulz4_blockstream_decompress.restype = ctypes.c_int64
+        lib.tpulz4_blockstream_decompress.argtypes = [
+            _c_u8p, ctypes.c_int64, _c_u8p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _i64p]
+
         lib.tpulz4_version.restype = ctypes.c_char_p
 
         _lib = lib

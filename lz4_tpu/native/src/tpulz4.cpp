@@ -1610,4 +1610,155 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
   return d;
 }
 
+// ---------------------------------------------------------------------------
+// one-shot legacy "LZ4Block" stream codec (LZ4BlockOutputStream.java:39-69,
+// 189-266, LZ4BlockInputStream.java:150-260; formats/block_stream.py)
+// ---------------------------------------------------------------------------
+//
+// block  = "LZ4Block" token(1) compressed_len(4 LE) original_len(4 LE)
+//          checksum(4 LE) payload
+// token  = method {0x10 raw, 0x20 LZ4} | level = ceil(log2(bs)) - 10
+// check  = xxh32(raw, seed 0x9747B28C) & 0xFFFFFFF (the reference's 28-bit
+//          Checksum-adapter quirk, StreamingXXHash32.java:101-107)
+
+namespace blockstream {
+constexpr int MAGIC_LEN = 8;
+constexpr int HEADER_LEN = MAGIC_LEN + 1 + 4 + 4 + 4;  // 21
+constexpr uint8_t MAGIC[MAGIC_LEN] = {'L', 'Z', '4', 'B', 'l', 'o', 'c', 'k'};
+constexpr int LEVEL_BASE = 10;
+constexpr int METHOD_RAW = 0x10;
+constexpr int METHOD_LZ4 = 0x20;
+constexpr uint32_t SEED = 0x9747B28Cu;
+
+inline int level_for(int block_size) {
+  int lvl = 0;
+  while ((1 << (LEVEL_BASE + lvl)) < block_size) ++lvl;
+  return lvl;
+}
+}  // namespace blockstream
+
+TPULZ4_API int64_t tpulz4_blockstream_compress_bound(int64_t raw_len,
+                                                     int32_t block_size) {
+  if (block_size < 64 || block_size > (1 << 25) || raw_len < 0)
+    return TPULZ4_E_PARAM;
+  int64_t n = raw_len ? (raw_len + block_size - 1) / block_size : 0;
+  return (n + 1) * (blockstream::HEADER_LEN +
+                    tpulz4_max_compressed_length(block_size));
+}
+
+TPULZ4_API int64_t tpulz4_blockstream_compress(
+    const uint8_t* raw, int64_t raw_len, int32_t block_size,
+    uint8_t* dest, int64_t dest_cap, int32_t n_threads) {
+  using namespace blockstream;
+  if (block_size < 64 || block_size > (1 << 25) || raw_len < 0)
+    return TPULZ4_E_PARAM;
+  if (dest_cap < tpulz4_blockstream_compress_bound(raw_len, block_size))
+    return TPULZ4_E_DEST_TOO_SMALL;
+  const int level = level_for(block_size);
+  const int n = raw_len ? (int)((raw_len + block_size - 1) / block_size) : 0;
+  const int cap = tpulz4_max_compressed_length(block_size);
+
+  std::vector<uint8_t> scratch((size_t)n * cap);
+  std::vector<int32_t> clens(n);
+  std::vector<uint32_t> checks(n);
+  frame::parallel_for(n, n_threads, [&](int i) {
+    int64_t off = (int64_t)i * block_size;
+    int len = (int)(raw_len - off < block_size ? raw_len - off : block_size);
+    checks[i] = tpulz4_xxh32(raw + off, len, SEED) & 0xFFFFFFFu;
+    clens[i] = tpulz4_compress_fast(raw + off, len,
+                                    scratch.data() + (size_t)i * cap, cap);
+  });
+
+  int64_t d = 0;
+  for (int i = 0; i < n; ++i) {
+    if (clens[i] < 0) return clens[i];
+    int64_t off = (int64_t)i * block_size;
+    int olen = (int)(raw_len - off < block_size ? raw_len - off : block_size);
+    const uint8_t* payload;
+    int method, plen;
+    if (clens[i] >= olen) {
+      payload = raw + off;
+      plen = olen;
+      method = METHOD_RAW;
+    } else {
+      payload = scratch.data() + (size_t)i * cap;
+      plen = clens[i];
+      method = METHOD_LZ4;
+    }
+    std::memcpy(dest + d, MAGIC, MAGIC_LEN);
+    dest[d + MAGIC_LEN] = (uint8_t)(method | level);
+    frame::write_u32(dest + d + MAGIC_LEN + 1, (uint32_t)plen);
+    frame::write_u32(dest + d + MAGIC_LEN + 5, (uint32_t)olen);
+    frame::write_u32(dest + d + MAGIC_LEN + 9, checks[i]);
+    d += HEADER_LEN;
+    std::memcpy(dest + d, payload, plen);
+    d += plen;
+  }
+  // empty-block end marker (LZ4BlockOutputStream.java:255-266)
+  std::memcpy(dest + d, MAGIC, MAGIC_LEN);
+  dest[d + MAGIC_LEN] = (uint8_t)(METHOD_RAW | level);
+  std::memset(dest + d + MAGIC_LEN + 1, 0, 12);
+  d += HEADER_LEN;
+  return d;
+}
+
+TPULZ4_API int64_t tpulz4_blockstream_decompress(
+    const uint8_t* src, int64_t src_len, uint8_t* dest, int64_t dest_cap,
+    int32_t n_threads, int32_t stop_on_empty, int64_t* consumed_out) {
+  using namespace blockstream;
+  struct Blk { int64_t src_off; int64_t dst_off; int32_t clen, olen;
+               uint32_t check; bool raw; };
+  std::vector<Blk> blocks;
+  int64_t s = 0, total = 0;
+  bool done = false;
+  while (!done) {
+    if (s >= src_len) {
+      if (stop_on_empty) return TPULZ4_E_FRAME;  // ended prematurely
+      break;  // concatenated-stream mode ends cleanly at EOF
+    }
+    if (s + HEADER_LEN > src_len) return TPULZ4_E_FRAME;
+    if (std::memcmp(src + s, MAGIC, MAGIC_LEN) != 0) return TPULZ4_E_FRAME;
+    int token = src[s + MAGIC_LEN];
+    int method = token & 0xF0;
+    int level = LEVEL_BASE + (token & 0x0F);
+    if (method != METHOD_RAW && method != METHOD_LZ4) return TPULZ4_E_FRAME;
+    uint32_t clen = frame::read_u32(src + s + MAGIC_LEN + 1);
+    uint32_t olen = frame::read_u32(src + s + MAGIC_LEN + 5);
+    uint32_t check = frame::read_u32(src + s + MAGIC_LEN + 9);
+    if (olen > (uint32_t)(1u << level) || ((olen == 0) != (clen == 0)) ||
+        (method == METHOD_RAW && olen != clen))
+      return TPULZ4_E_FRAME;
+    s += HEADER_LEN;
+    if (olen == 0) {
+      if (check != 0) return TPULZ4_E_FRAME;
+      if (stop_on_empty) done = true;
+      continue;  // concatenated mode: keep walking
+    }
+    if (s + clen > src_len) return TPULZ4_E_FRAME;
+    if (total + olen > dest_cap) return TPULZ4_E_DEST_TOO_SMALL;
+    blocks.push_back({s, total, (int32_t)clen, (int32_t)olen, check,
+                      method == METHOD_RAW});
+    s += clen;
+    total += olen;
+  }
+
+  std::vector<int32_t> errs(blocks.size(), 0);
+  frame::parallel_for((int)blocks.size(), n_threads, [&](int i) {
+    const Blk& b = blocks[i];
+    if (b.raw) {
+      std::memcpy(dest + b.dst_off, src + b.src_off, b.olen);
+    } else {
+      int r = tpulz4_decompress_fast(src + b.src_off, b.clen,
+                                     dest + b.dst_off, b.olen);
+      if (r != b.clen) { errs[i] = TPULZ4_E_FRAME; return; }
+    }
+    if ((tpulz4_xxh32(dest + b.dst_off, b.olen, SEED) & 0xFFFFFFFu) != b.check)
+      errs[i] = TPULZ4_E_CHECKSUM;
+  });
+  for (int32_t e : errs)
+    if (e < 0) return e;
+  if (consumed_out) *consumed_out = s;
+  return total;
+}
+
 TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.1.0"; }

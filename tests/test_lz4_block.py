@@ -184,3 +184,59 @@ def test_literal_run_regression_issue12():
     data = bytes(range(256)) + bytes(range(255, -1, -1)) + b"abcd" * 16
     c = compress_fast_alloc(data)
     assert decompress_safe_alloc(c, len(data)) == data
+
+
+class TestBlockStreamOneShots:
+    """Native one-call LZ4Block codec vs the stream classes."""
+
+    def test_byte_parity(self, calgary):
+        import io
+        from lz4_tpu.formats import (Lz4BlockOutputStream,
+                                     compress_block_stream)
+        data = calgary["geo"]
+        for bs in (64, 4096, 65536):
+            out = io.BytesIO()
+            s = Lz4BlockOutputStream(out, block_size=bs)
+            s.write(data)
+            s.finish()
+            assert compress_block_stream(data, bs) == out.getvalue()
+
+    def test_roundtrip_and_cross_reader(self, calgary):
+        import io
+        from lz4_tpu.formats import (Lz4BlockInputStream,
+                                     compress_block_stream,
+                                     decompress_block_stream)
+        data = calgary["geo"]
+        st = compress_block_stream(data, 8192)
+        assert decompress_block_stream(st) == data
+        assert Lz4BlockInputStream(io.BytesIO(st)).read() == data
+
+    def test_concatenated(self):
+        from lz4_tpu.formats import (compress_block_stream,
+                                     decompress_block_stream)
+        a = compress_block_stream(b"first", 64)
+        b = compress_block_stream(b"second", 64)
+        assert decompress_block_stream(a + b,
+                                       stop_on_empty_block=False) == b"firstsecond"
+        assert decompress_block_stream(a + b) == b"first"
+
+    def test_empty(self):
+        from lz4_tpu.formats import (compress_block_stream,
+                                     decompress_block_stream)
+        st = compress_block_stream(b"", 64)
+        assert decompress_block_stream(st) == b""
+
+    def test_corruption_raises(self, calgary):
+        import pytest
+        from lz4_tpu.core.errors import Lz4FrameError
+        from lz4_tpu.formats import (compress_block_stream,
+                                     decompress_block_stream)
+        st = bytearray(compress_block_stream(calgary["geo"][:10000], 4096))
+        bad = bytearray(st); bad[0] ^= 0xFF  # magic
+        with pytest.raises(Lz4FrameError):
+            decompress_block_stream(bytes(bad))
+        bad = bytearray(st); bad[40] ^= 0xFF  # payload -> checksum mismatch
+        with pytest.raises(Lz4FrameError):
+            decompress_block_stream(bytes(bad))
+        with pytest.raises(Lz4FrameError):
+            decompress_block_stream(bytes(st[:30]))  # truncated
