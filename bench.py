@@ -129,6 +129,55 @@ def _bench_kernel_amortized(dynseed_fn, seed_shape, n: int = 4096,
     return n * block_len / per_pass / 1e9
 
 
+def bench_native_formats(corpus: bytes):
+    """Container-format one-shots through the native runtime."""
+    from lz4_tpu.api import native_instances as ni
+
+    out = {}
+    data = corpus[:24 << 20]
+    fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
+        times.append(time.time() - t0)
+    out["frame_compress_gbps"] = round(len(data) / min(times) / 1e9, 3)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        dec, _ = ni.decompress_frame_packed(fr, dest_cap=len(data))
+        times.append(time.time() - t0)
+    assert dec == data
+    out["frame_decompress_gbps"] = round(len(data) / min(times) / 1e9, 3)
+
+    bs = ni.compress_block_stream_packed(data, BLOCK)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        bs = ni.compress_block_stream_packed(data, BLOCK)
+        times.append(time.time() - t0)
+    out["blockstream_compress_gbps"] = round(len(data) / min(times) / 1e9, 3)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        dec, _ = ni.decompress_block_stream_packed(bs, dest_cap=len(data))
+        times.append(time.time() - t0)
+    assert dec == data
+    out["blockstream_decompress_gbps"] = round(len(data) / min(times) / 1e9,
+                                               3)
+
+    hc_data = corpus[:4 << 20]  # HC is ~10x slower (README.md:14)
+    comp, offs, lens = ni.compress_hc_packed(hc_data, BLOCK, level=9)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        comp, offs, lens = ni.compress_hc_packed(hc_data, BLOCK, level=9)
+        times.append(time.time() - t0)
+    out["hc9_compress_gbps"] = round(len(hc_data) / min(times) / 1e9, 4)
+    out["hc9_ratio"] = round(int(lens.sum()) / len(hc_data), 4)
+    return out
+
+
 def bench_tpu_segment_decode(corpus: bytes, size: int = 8 << 20):
     """On-device segment-executor decode GB/s (parse on host, copy on TPU)."""
     try:
@@ -193,6 +242,10 @@ def bench_tpu_xxh64(**kw):
 def main():
     corpus = load_corpus()
     native = bench_native(corpus)
+    try:
+        formats = bench_native_formats(corpus)
+    except Exception as e:
+        formats = {"formats": f"unavailable: {type(e).__name__}: {e}"}
     tpu_seg = bench_tpu_segment_decode(corpus)
     tpu_hash = bench_tpu_xxh32()
     tpu_hash64 = bench_tpu_xxh64()
@@ -210,6 +263,7 @@ def main():
             "compress_gbps": round(native["compress_gbps"], 3),
             "compression_ratio": round(native["ratio"], 4),
             "ratio_vs_reference": 1.0,  # byte-identical output by construction
+            **formats,
             "tpu_segment_decode_gbps": (round(tpu_seg, 4)
                                         if isinstance(tpu_seg, float)
                                         else tpu_seg),

@@ -222,10 +222,17 @@ def decompress_segments_pallas(comp, n_seq,
 
 
 def decompress_blocks(blocks, out_len: int, seq_chunk: int = 1024,
-                      interpret: bool = False):
-    """Host convenience: parse on CPU + segment-execute on device."""
+                      interpret: bool | None = None):
+    """Host convenience: parse on CPU + segment-execute on device.
+
+    ``interpret=None`` auto-selects: compiled on TPU backends, interpreter
+    elsewhere (Mosaic kernels only lower for TPU).
+    """
     import numpy as np
     from .gather_decode import parse_blocks
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
 
     arrs, n_seq, out_total = parse_blocks(blocks)
     cmax = max(len(b) for b in blocks)

@@ -55,6 +55,7 @@ class BatchEngine:
 
 def get_engine(name: str = "fastest") -> BatchEngine:
     """Engines: 'native' (C++ threads), 'pallas' (device kernels),
+    'segment' (host parse + device segment-executor decode),
     'sharded' (device mesh), 'safe' (reference), 'fastest' (first working)."""
     if name == "fastest":
         for cand in ("native", "safe"):
@@ -78,6 +79,16 @@ def get_engine(name: str = "fastest") -> BatchEngine:
             "pallas",
             f.fast_compressor().compress_batch,
             f.safe_decompressor().decompress_batch)
+    if name == "segment":
+        # host parse (C++) + device segment-executor decode; compression
+        # stays on the native tier (device compress is latency-bound)
+        from ..api import native_instances as ni
+        from ..kernels import segment_decode
+
+        def decomp(blocks, out_max):
+            return segment_decode.decompress_blocks(blocks, out_max)
+
+        return BatchEngine("segment", ni.compress_fast_batch, decomp)
     if name == "sharded":
         from ..dist import shard_compress_blocks, shard_decompress_blocks
         return BatchEngine(

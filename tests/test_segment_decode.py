@@ -107,3 +107,16 @@ def test_parse_packed_malformed_raises():
     with pytest.raises(Lz4Error):
         gather_decode.parse_packed(bad, np.zeros(1, np.int64),
                                    np.array([len(bad)], np.int32), 64)
+
+
+def test_segment_stream_engine(calgary):
+    import io
+    from lz4_tpu.streams import pipeline
+    data = calgary["geo"][:32768]
+    dst = io.BytesIO()
+    pipeline.compress_stream(io.BytesIO(data), dst, engine="segment",
+                             block_size=pipeline.BlockSize.SIZE_64KB)
+    out = io.BytesIO()
+    pipeline.decompress_stream(io.BytesIO(dst.getvalue()), out,
+                               engine="segment")
+    assert out.getvalue() == data
