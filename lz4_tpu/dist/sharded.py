@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.constants import max_compressed_length
 from ..kernels import jax_codec
@@ -37,7 +37,7 @@ def _compress_sharded(data, lens, dest_cap: int, mesh):
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(data, lens)
 
@@ -49,7 +49,7 @@ def _decompress_sharded(comp, comp_lens, out_max: int, mesh):
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
         out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(comp, comp_lens)
 
@@ -61,7 +61,7 @@ def _xxh32_sharded(data, lens, seed: int, mesh):
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
         out_specs=P(BLOCK_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(data, lens)
 
