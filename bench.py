@@ -142,12 +142,13 @@ def bench_native_formats(corpus: bytes):
         fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
         times.append(time.time() - t0)
     out["frame_compress_gbps"] = round(len(data) / min(times) / 1e9, 3)
+    fbuf = bytearray(len(data))
     times = []
     for _ in range(3):
         t0 = time.time()
-        dec, _ = ni.decompress_frame_packed(fr, dest_cap=len(data))
+        dec, _ = ni.decompress_frame_packed(fr, dest=fbuf)
         times.append(time.time() - t0)
-    assert dec == data
+    assert bytes(dec) == data
     out["frame_decompress_gbps"] = round(len(data) / min(times) / 1e9, 3)
 
     bs = ni.compress_block_stream_packed(data, BLOCK)  # warm
@@ -160,9 +161,9 @@ def bench_native_formats(corpus: bytes):
     times = []
     for _ in range(3):
         t0 = time.time()
-        dec, _ = ni.decompress_block_stream_packed(bs, dest_cap=len(data))
+        dec, _ = ni.decompress_block_stream_packed(bs, dest=fbuf)
         times.append(time.time() - t0)
-    assert dec == data
+    assert bytes(dec) == data
     out["blockstream_decompress_gbps"] = round(len(data) / min(times) / 1e9,
                                                3)
 

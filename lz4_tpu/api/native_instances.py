@@ -498,17 +498,29 @@ def compress_frame_packed(data, block_size_id: int = 7, flags: int = 0,
 
 def decompress_frame_packed(data, dest_cap: int | None = None,
                             single_frame: bool = False,
-                            n_threads=None):
+                            n_threads=None, dest=None):
     """One native call: parse frame(s), threaded block decode, verify.
 
     Handles concatenated and skippable frames. Returns
     ``(bytes, consumed)``. Grows the output buffer and retries if the
-    initial capacity guess is short.
+    initial capacity guess is short. Pass ``dest`` (a reusable writable
+    buffer) to skip the per-call allocation and the bytes copy — the
+    return then is ``(memoryview_of_dest, consumed)``.
     """
     import os
     n_threads = n_threads or (os.cpu_count() or 1)
-    cap = dest_cap or max(4 * len(data), 1 << 20)
     consumed = ctypes.c_int64(0)
+    if dest is not None:
+        s_addr, s_keep = _base_addr(data)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_frame_decompress(
+            _ptr(s_addr, 0), len(data), _ptr(d_addr, 0), len(dest),
+            n_threads, 1 if single_frame else 0, ctypes.byref(consumed))
+        del s_keep, d_keep
+        if n < 0:
+            _raise_frame_error(int(n), "frame_decompress")
+        return memoryview(dest)[:int(n)], int(consumed.value)
+    cap = dest_cap or max(4 * len(data), 1 << 20)
     while True:
         dest = bytearray(cap)
         s_addr, s_keep = _base_addr(data)
@@ -553,13 +565,25 @@ def compress_block_stream_packed(data, block_size: int = 1 << 16,
 
 def decompress_block_stream_packed(data, dest_cap: int | None = None,
                                    stop_on_empty_block: bool = True,
-                                   n_threads=None):
+                                   n_threads=None, dest=None):
     """One native call: decode an LZ4Block stream (threaded blocks,
-    checksum verification). Returns ``(bytes, consumed)``."""
+    checksum verification). Returns ``(bytes, consumed)``; with a caller
+    ``dest`` buffer the first element is a memoryview of it instead."""
     import os
     n_threads = n_threads or (os.cpu_count() or 1)
-    cap = dest_cap or max(4 * len(data), 1 << 20)
     consumed = ctypes.c_int64(0)
+    if dest is not None:
+        s_addr, s_keep = _base_addr(data)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_blockstream_decompress(
+            _ptr(s_addr, 0), len(data), _ptr(d_addr, 0), len(dest),
+            n_threads, 1 if stop_on_empty_block else 0,
+            ctypes.byref(consumed))
+        del s_keep, d_keep
+        if n < 0:
+            _raise_frame_error(int(n), "blockstream_decompress")
+        return memoryview(dest)[:int(n)], int(consumed.value)
+    cap = dest_cap or max(4 * len(data), 1 << 20)
     while True:
         dest = bytearray(cap)
         s_addr, s_keep = _base_addr(data)

@@ -332,3 +332,27 @@ class TestHcPackedBatch:
         out = io.BytesIO()
         pipeline.decompress_stream(io.BytesIO(hc_dst.getvalue()), out)
         assert out.getvalue() == data
+
+
+class TestOneShotDestReuse:
+    def test_frame_dest_reuse(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        data = calgary["geo"]
+        fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
+        buf = bytearray(len(data) + 100)
+        dec, consumed = ni.decompress_frame_packed(fr, dest=buf)
+        assert isinstance(dec, memoryview)
+        assert bytes(dec) == data and consumed == len(fr)
+        # too-small dest raises rather than retrying
+        import pytest
+        from lz4_tpu.core.errors import Lz4Error
+        with pytest.raises(Lz4Error):
+            ni.decompress_frame_packed(fr, dest=bytearray(100))
+
+    def test_blockstream_dest_reuse(self, calgary):
+        from lz4_tpu.api import native_instances as ni
+        data = calgary["geo"]
+        st = ni.compress_block_stream_packed(data, 8192)
+        buf = bytearray(len(data))
+        dec, consumed = ni.decompress_block_stream_packed(st, dest=buf)
+        assert bytes(dec) == data and consumed == len(st)
