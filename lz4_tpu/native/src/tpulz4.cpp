@@ -11,9 +11,11 @@
 // Exposed as a flat C ABI consumed via ctypes (lz4_tpu/native/bindings.py).
 // Error convention: negative return values, see TPULZ4_E* below.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <memory>
 #include <vector>
 #include <thread>
 
@@ -1590,12 +1592,38 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
     }
 
     // parallel decompress at stride bs into dest (order-preserving compact
-    // afterwards if any interior block decodes short)
+    // afterwards if any interior block decodes short). With >= 3 threads
+    // the content checksum runs on a trailer thread that hashes blocks in
+    // order as decoders (n_threads - 1 of them) complete — overlapping
+    // hash and decode. Measured on a 2-core host the 3-runnable-thread
+    // form loses ~10% to contention, so 2 threads keep the serial hash.
     const int n = (int)blocks.size();
     const int64_t frame_dest = d;
     std::vector<int32_t> dlens(n, 0);
     std::vector<int32_t> errs(n, 0);
-    frame::parallel_for(n, n_threads, [&](int i) {
+    const bool overlap_hash = has_csum && n > 0 && n_threads >= 3;
+    std::unique_ptr<std::atomic<int>[]> done;
+    std::thread hasher;
+    uint32_t content_hash = 0;
+    if (overlap_hash) {
+      done.reset(new std::atomic<int>[n]);
+      for (int i = 0; i < n; ++i) done[i].store(0, std::memory_order_relaxed);
+      hasher = std::thread([&] {
+        void* st = tpulz4_xxh32_create(0);
+        for (int i = 0; i < n; ++i) {
+          int f;
+          while ((f = done[i].load(std::memory_order_acquire)) == 0)
+            std::this_thread::yield();
+          if (f == 2) break;  // decode error: result unused
+          tpulz4_xxh32_update(st, dest + frame_dest + (int64_t)i * bs,
+                              dlens[i]);
+        }
+        content_hash = tpulz4_xxh32_digest(st);
+        tpulz4_xxh32_free(st);
+      });
+    }
+    frame::parallel_for(n, overlap_hash ? n_threads - 1 : n_threads,
+                        [&](int i) {
       // stride-bs layout; every block clamps to the remaining capacity, so
       // an undersized dest surfaces as E_DEST_TOO_SMALL from the block
       int64_t out_off = frame_dest + (int64_t)i * bs;
@@ -1603,18 +1631,20 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
       int out_max = (int)(room < bs ? (room < 0 ? 0 : room) : bs);
       if (out_max == 0 && blocks[i].len > 0) {
         errs[i] = TPULZ4_E_DEST_TOO_SMALL;
-        return;
-      }
-      if (blocks[i].compressed) {
+      } else if (blocks[i].compressed) {
         int r = tpulz4_decompress_safe(src + blocks[i].off, blocks[i].len,
                                        dest + out_off, out_max);
         if (r < 0) errs[i] = r; else dlens[i] = r;
+      } else if (blocks[i].len > out_max) {
+        errs[i] = TPULZ4_E_DEST_TOO_SMALL;
       } else {
-        if (blocks[i].len > out_max) { errs[i] = TPULZ4_E_DEST_TOO_SMALL; return; }
         std::memcpy(dest + out_off, src + blocks[i].off, blocks[i].len);
         dlens[i] = blocks[i].len;
       }
+      if (done)
+        done[i].store(errs[i] < 0 ? 2 : 1, std::memory_order_release);
     });
+    if (hasher.joinable()) hasher.join();
     for (int i = 0; i < n; ++i)
       if (errs[i] < 0) return errs[i];
 
@@ -1634,7 +1664,10 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
       if (s + 4 > src_len) return TPULZ4_E_FRAME;
       uint32_t expect = frame::read_u32(src + s);
       s += 4;
-      if (expect != tpulz4_xxh32(dest + frame_dest, frame_total, 0))
+      uint32_t got = overlap_hash
+                         ? content_hash
+                         : tpulz4_xxh32(dest + frame_dest, frame_total, 0);
+      if (expect != got)
         return TPULZ4_E_CHECKSUM;
     }
     if (has_csize && expected_size != (uint64_t)frame_total)

@@ -356,3 +356,21 @@ class TestOneShotDestReuse:
         buf = bytearray(len(data))
         dec, consumed = ni.decompress_block_stream_packed(st, dest=buf)
         assert bytes(dec) == data and consumed == len(st)
+
+
+def test_frame_decompress_overlap_hash_threads(calgary):
+    """>=3 threads route the content checksum through the trailer thread;
+    results and error behavior must match the serial-hash path."""
+    import pytest
+    from lz4_tpu.api import native_instances as ni
+    from lz4_tpu.core.errors import Lz4FrameError
+    data = calgary["geo"]
+    fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
+    for t in (1, 2, 3, 4):
+        out, consumed = ni.decompress_frame_packed(fr, n_threads=t)
+        assert out == data and consumed == len(fr)
+    bad = bytearray(fr)
+    bad[len(bad) // 2] ^= 0xFF
+    for t in (2, 3):
+        with pytest.raises(Lz4FrameError):
+            ni.decompress_frame_packed(bytes(bad), n_threads=t)
