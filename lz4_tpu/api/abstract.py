@@ -143,6 +143,12 @@ class StreamingXXHash32(abc.ABC):
         """
         return self.get_value() & 0xFFFFFFF
 
+    def as_checksum(self) -> "ChecksumAdapter":
+        """Checksum-object view (the reference's ``asChecksum()`` returning a
+        ``java.util.zip.Checksum``, StreamingXXHash32.java:95-131), with the
+        same 28-bit getValue quirk."""
+        return ChecksumAdapter(self)
+
     def close(self) -> None:
         pass
 
@@ -187,3 +193,27 @@ class StreamingXXHash64(abc.ABC):
 
     def __repr__(self):
         return f"{type(self).__name__}(seed={self.seed})"
+
+
+class ChecksumAdapter:
+    """``java.util.zip.Checksum``-shaped adapter over a streaming hash.
+
+    ``get_value`` masks to 28 bits exactly like the reference adapter
+    (StreamingXXHash32.java:101-107); ``update`` accepts a single int byte
+    or a bytes-like slice, mirroring the two Checksum.update overloads.
+    """
+
+    def __init__(self, stream):
+        self._stream = stream
+
+    def update(self, data, off: int = 0, length: int | None = None) -> None:
+        if isinstance(data, int):
+            self._stream.update(bytes([data & 0xFF]))
+            return
+        self._stream.update(data, off, length)
+
+    def get_value(self) -> int:
+        return self._stream.get_value() & 0xFFFFFFF
+
+    def reset(self) -> None:
+        self._stream.reset()

@@ -135,3 +135,21 @@ def test_long_accumulation_multi_mb():
         s64.update(chunk)
         assert s32.get_value() == xxh32(total)
         assert s64.get_value() == xxh64(total)
+
+
+def test_as_checksum_adapter_quirk():
+    """asChecksum() object parity: 28-bit mask (seven F's), byte + slice
+    update overloads, reset (StreamingXXHash32.java:95-131)."""
+    from lz4_tpu.api.factory import XXHashFactory
+    for factory in (XXHashFactory.fastest_instance(),
+                    XXHashFactory.safe_instance()):
+        sh = factory.new_streaming_hash32(0x9747B28C)
+        c = sh.as_checksum()
+        c.update(b"hello world")
+        v = c.get_value()
+        assert v == sh.get_value() & 0xFFFFFFF
+        assert v <= 0xFFFFFFF
+        c.reset()
+        c.update(ord("h"))
+        c.update(b"xello worldx", 1, 10)
+        assert c.get_value() == v
