@@ -82,3 +82,25 @@ def test_hash_from_any_storage(rng):
         expect = f.hash32().hash(data, 0, len(data), 0)
         for vname, buf, off in _src_variants(data):
             assert f.hash32().hash(buf, off, len(data), 0) == expect, (name, vname)
+
+
+@pytest.mark.parametrize("tier", range(2))
+def test_with_length_through_storage_matrix(tier, rng):
+    """The reference routes the same storage matrix through the WithLength
+    wrappers (AbstractLZ4Test.java:146-164,187-205)."""
+    from lz4_tpu.formats.with_length import (Lz4CompressorWithLength,
+                                             Lz4DecompressorWithLength)
+    tiers = _tiers()
+    if tier >= len(tiers):
+        pytest.skip("tier unavailable")
+    f = tiers[tier]
+    comp = Lz4CompressorWithLength(f.fast_compressor())
+    dec = Lz4DecompressorWithLength(f.fast_decompressor())
+    data = random_bytes(rng, 3000, 8)
+    expect = comp.compress_alloc(data)
+    for name, src, off in _src_variants(bytes(expect)):
+        got = dec.decompress_alloc(src, off)
+        assert bytes(got) == data, name
+    for name, src, off in _src_variants(data):
+        c = comp.compress_alloc(src, off, len(data))
+        assert bytes(c) == bytes(expect), name
