@@ -374,3 +374,65 @@ def test_frame_decompress_overlap_hash_threads(calgary):
     for t in (2, 3):
         with pytest.raises(Lz4FrameError):
             ni.decompress_frame_packed(bytes(bad), n_threads=t)
+
+
+class TestNativeBuildLifecycle:
+    """Build/loader invariants on disk — the analog of the reference's JNI
+    temp-lib and .lck tests (LZ4Test.java:40-78, Native.java:98-162)."""
+
+    def test_cache_dir_override_and_lock_cleanup(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+        env = dict(os.environ, TPULZ4_NATIVE_DIR=str(tmp_path),
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from lz4_tpu.native import build;"
+             "p = build.build(); print(p)"],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr
+        built = r.stdout.strip()
+        assert built.startswith(str(tmp_path))
+        assert os.path.exists(built)
+        # lock file must not linger after a successful build
+        leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".lck")]
+        assert leftovers == []
+
+    def test_concurrent_builders_produce_one_library(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+        env = dict(os.environ, TPULZ4_NATIVE_DIR=str(tmp_path),
+                   PYTHONPATH="/root/repo")
+        code = ("from lz4_tpu.native import build, bindings;"
+                "build.build();"
+                "lib = bindings.load();"
+                "print(lib.tpulz4_max_compressed_length(100))")
+        procs = [subprocess.Popen([sys.executable, "-c", code],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE, env=env, text=True)
+                 for _ in range(2)]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for (out, err), p in zip(outs, procs):
+            assert p.returncode == 0, err
+            assert out.strip() == "116"  # 100 + 100/255 + 16
+        sos = [p for p in os.listdir(tmp_path) if p.endswith(".so")]
+        assert len(sos) == 1
+
+    def test_no_native_env_refuses(self):
+        import os
+        import subprocess
+        import sys
+        env = dict(os.environ, TPULZ4_NO_NATIVE="1", PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "from lz4_tpu.native import build\n"
+             "try:\n"
+             "    build.build()\n"
+             "    print('BUILT')\n"
+             "except build.NativeBuildError:\n"
+             "    print('REFUSED')"],
+            capture_output=True, text=True, env=env, timeout=120)
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.strip() == "REFUSED"
