@@ -240,9 +240,36 @@ def bench_tpu_xxh64(**kw):
         return f"unavailable: {type(e).__name__}: {e}"
 
 
+def bench_safe_fallback(corpus: bytes):
+    """Minimal pure-Python measurement if the native tier is unavailable:
+    the bench must always emit a valid JSON line for the driver."""
+    from lz4_tpu.api.factory import Lz4Factory
+
+    f = Lz4Factory.safe_instance()
+    data = corpus[:1 << 20]  # reference tier is ~MB/s
+    comp = f.fast_compressor().compress_alloc(data)
+    t0 = time.time()
+    out = f.safe_decompressor().decompress_alloc(comp, 0, len(comp), len(data))
+    t_dec = time.time() - t0
+    assert bytes(out) == data
+    t0 = time.time()
+    f.fast_compressor().compress_alloc(data)
+    t_comp = time.time() - t0
+    return {
+        "compress_gbps": len(data) / t_comp / 1e9,
+        "decompress_gbps": len(data) / t_dec / 1e9,
+        "ratio": len(comp) / len(data),
+        "tier": "safe-fallback",
+    }
+
+
 def main():
     corpus = load_corpus()
-    native = bench_native(corpus)
+    try:
+        native = bench_native(corpus)
+    except Exception as e:
+        native = bench_safe_fallback(corpus)
+        native["native_error"] = f"{type(e).__name__}: {e}"
     try:
         formats = bench_native_formats(corpus)
     except Exception as e:
@@ -263,6 +290,8 @@ def main():
             "block_bytes": BLOCK,
             "compress_gbps": round(native["compress_gbps"], 3),
             "compression_ratio": round(native["ratio"], 4),
+            **({k: native[k] for k in ("tier", "native_error")
+                if k in native}),
             "ratio_vs_reference": 1.0,  # byte-identical output by construction
             **formats,
             "tpu_segment_decode_gbps": (round(tpu_seg, 4)
