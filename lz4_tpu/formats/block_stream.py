@@ -23,6 +23,7 @@ import struct
 
 from ..core.errors import Lz4FrameError
 from ..api.factory import Lz4Factory, XXHashFactory
+from ..native.build import NativeBuildError
 
 MAGIC = b"LZ4Block"
 MAGIC_LENGTH = len(MAGIC)
@@ -257,7 +258,7 @@ def compress_block_stream(data, block_size: int = 1 << 16) -> bytes:
     try:
         from ..api import native_instances as ni
         return ni.compress_block_stream_packed(data, block_size)
-    except ImportError:
+    except (ImportError, NativeBuildError):
         out = io.BytesIO()
         s = Lz4BlockOutputStream(out, block_size=block_size)
         s.write(data)
@@ -273,7 +274,7 @@ def decompress_block_stream(data, stop_on_empty_block: bool = True) -> bytes:
         out, _ = ni.decompress_block_stream_packed(
             bytes(data), stop_on_empty_block=stop_on_empty_block)
         return out
-    except ImportError:
+    except (ImportError, NativeBuildError):
         return Lz4BlockInputStream(
             io.BytesIO(data),
             stop_on_empty_block=stop_on_empty_block).read()

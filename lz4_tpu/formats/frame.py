@@ -28,6 +28,7 @@ import struct
 
 from ..core.errors import Lz4FrameError
 from ..api.factory import Lz4Factory, XXHashFactory
+from ..native.build import NativeBuildError
 
 MAGIC = 0x184D2204
 MAGIC_SKIPPABLE_BASE = 0x184D2A50
@@ -375,7 +376,7 @@ def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
             if known_size or FrameFlag.CONTENT_SIZE in fl:
                 flags |= ni.F_CONTENT_SIZE
             return ni.compress_frame_packed(data, int(block_size), flags)
-        except ImportError:
+        except (ImportError, NativeBuildError):
             pass
     out = io.BytesIO()
     stream = Lz4FrameOutputStream(
@@ -398,7 +399,7 @@ def decompress_frame(data, read_single_frame: bool = False) -> bytes:
         out, _ = ni.decompress_frame_packed(bytes(data),
                                             single_frame=read_single_frame)
         return out
-    except ImportError:
+    except (ImportError, NativeBuildError):
         pass
     stream = Lz4FrameInputStream(io.BytesIO(data),
                                  read_single_frame=read_single_frame)

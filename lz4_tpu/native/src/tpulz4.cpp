@@ -481,7 +481,8 @@ TPULZ4_API int tpulz4_compress_hc(const uint8_t* src, int src_len,
       ++s;
       continue;
     }
-    m0 = m1;  // saved, in case we would skip too much
+    m0 = m1;  // keep the original candidate; the lazy search below may
+              // need to fall back to it
 
     bool to_main = false;
     while (!to_main) {  // search2
@@ -494,7 +495,11 @@ TPULZ4_API int tpulz4_compress_hc(const uint8_t* src, int src_len,
         break;  // continue main
       }
 
-      if (m0.start < m1.start && m2.start < m1.start + m0.len) m1 = m0;  // empirical
+      // heuristic the upstream format's HC encoder applies (must be
+      // mirrored exactly for byte-identical output): if the overlapping
+      // wider match would start inside the span the original candidate
+      // covers, revert to the original candidate
+      if (m0.start < m1.start && m2.start < m1.start + m0.len) m1 = m0;
 
       if (m2.start - m1.start < 3) {  // first match too small
         m1 = m2;
@@ -686,9 +691,12 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
   uint8_t* op = dest;
   uint8_t* const oend = dest + dest_len;
   // shortcut envelope: token already consumed, 16B blind literal copy +
-  // 2B distance readable; >= 34B of dest slack for blind match copies
+  // 2B distance readable. Dest slack must cover the worst blind write:
+  // up to 14 literal bytes advance op, then the match copy can touch up
+  // to op+24 (three 8B strides, or the dist<8 expansion head + a wild
+  // 8B-strided tail of ceil(10/8)*8 = 16 bytes at op+8) => 14+24 = 38.
   const uint8_t* const ishort = iend - 19;
-  uint8_t* const oshort = oend - 34;
+  uint8_t* const oshort = oend - 38;
 
   for (;;) {
     if (ip >= iend) return TPULZ4_E_MALFORMED;
@@ -802,8 +810,9 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
   const uint8_t* const iend = src + src_avail;
   uint8_t* op = dest;
   uint8_t* const oend = dest + dest_len;
+  // see tpulz4_decompress_safe for the 38-byte envelope derivation
   const uint8_t* const ishort = iend - 19;
-  uint8_t* const oshort = oend - 34;
+  uint8_t* const oshort = oend - 38;
 
   for (;;) {
     if (ip >= iend) return TPULZ4_E_MALFORMED;
@@ -1645,17 +1654,46 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
         done[i].store(errs[i] < 0 ? 2 : 1, std::memory_order_release);
     });
     if (hasher.joinable()) hasher.join();
-    for (int i = 0; i < n; ++i)
-      if (errs[i] < 0) return errs[i];
-
-    // compact left if any interior block is short (rare; frames we and the
-    // CLI produce have full interior blocks)
-    int64_t w = frame_dest;
+    bool dest_small = false;
     for (int i = 0; i < n; ++i) {
-      int64_t out_off = frame_dest + (int64_t)i * bs;
-      if (w != out_off && dlens[i] > 0)
-        std::memmove(dest + w, dest + out_off, dlens[i]);
-      w += dlens[i];
+      if (errs[i] == TPULZ4_E_DEST_TOO_SMALL) dest_small = true;
+      else if (errs[i] < 0) return errs[i];
+    }
+
+    int64_t w = frame_dest;
+    bool used_serial = false;
+    if (dest_small) {
+      // The stride layout needs up to n*bs capacity when interior blocks
+      // decode short (spec-valid frames from flushing writers). A
+      // content-sized dest can still hold the frame — retry serially,
+      // decoding each block into a bs scratch and compacting as we go.
+      used_serial = true;
+      std::vector<uint8_t> scratch((size_t)bs);
+      for (int i = 0; i < n; ++i) {
+        const uint8_t* p = src + blocks[i].off;
+        int out_len;
+        if (blocks[i].compressed) {
+          int r = tpulz4_decompress_safe(p, blocks[i].len, scratch.data(),
+                                         (int)bs);
+          if (r < 0) return r;
+          out_len = r;
+        } else {
+          std::memcpy(scratch.data(), p, blocks[i].len);
+          out_len = blocks[i].len;
+        }
+        if (w + out_len > dest_cap) return TPULZ4_E_DEST_TOO_SMALL;
+        std::memcpy(dest + w, scratch.data(), out_len);
+        w += out_len;
+      }
+    } else {
+      // compact left if any interior block is short (rare; frames we and
+      // the CLI produce have full interior blocks)
+      for (int i = 0; i < n; ++i) {
+        int64_t out_off = frame_dest + (int64_t)i * bs;
+        if (w != out_off && dlens[i] > 0)
+          std::memmove(dest + w, dest + out_off, dlens[i]);
+        w += dlens[i];
+      }
     }
     int64_t frame_total = w - frame_dest;
     d = w;
@@ -1664,7 +1702,7 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
       if (s + 4 > src_len) return TPULZ4_E_FRAME;
       uint32_t expect = frame::read_u32(src + s);
       s += 4;
-      uint32_t got = overlap_hash
+      uint32_t got = (overlap_hash && !used_serial)
                          ? content_hash
                          : tpulz4_xxh32(dest + frame_dest, frame_total, 0);
       if (expect != got)

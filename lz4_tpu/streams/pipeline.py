@@ -126,6 +126,7 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
     if level > 0:
         import functools
         from ..api.factory import Lz4Factory
+        from ..native.build import NativeBuildError
         try:
             from ..api import native_instances as ni
             engine = BatchEngine(
@@ -134,11 +135,11 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
                 compress_packed=functools.partial(ni.compress_hc_packed,
                                                   level=level),
                 decompress_packed=engine.decompress_packed)
-        except ImportError:
-            hc = Lz4Factory.fastest_instance().high_compressor(level)
+        except (ImportError, NativeBuildError):
+            hc_comp = Lz4Factory.fastest_instance().high_compressor(level)
             engine = BatchEngine(
                 f"{engine.name}-hc{level}",
-                lambda blocks: [hc.compress_alloc(b) for b in blocks],
+                lambda blocks: [hc_comp.compress_alloc(b) for b in blocks],
                 engine.decompress_batch)
     bs = block_size.num_bytes
     flags = {FrameFlag.BLOCK_INDEPENDENCE}

@@ -104,6 +104,32 @@ def test_native_disabled_falls_back():
     assert "FASTEST native" not in res.stdout
 
 
+def test_one_shot_routers_work_without_native():
+    """The frame/blockstream one-shot convenience APIs must fall back to
+    the pure-Python writers when the native tier is unavailable
+    (NativeBuildError, not just ImportError — advisor r1 finding #2).
+    Subprocess: the library handle is cached per process."""
+    code = (
+        "import os; os.environ['TPULZ4_NO_NATIVE']='1'\n"
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from lz4_tpu.formats.frame import compress_frame, decompress_frame\n"
+        "from lz4_tpu.formats.block_stream import (compress_block_stream,"
+        " decompress_block_stream)\n"
+        "import io\n"
+        "from lz4_tpu.streams.pipeline import compress_stream\n"
+        "data = bytes(range(256)) * 40\n"
+        "assert decompress_frame(compress_frame(data)) == data\n"
+        "assert decompress_block_stream(compress_block_stream(data)) == data\n"
+        "out = io.BytesIO()\n"
+        "compress_stream(io.BytesIO(data), out, engine='safe', level=9)\n"
+        "assert decompress_frame(out.getvalue()) == data\n"
+        "print('ROUTERS_OK')\n"
+    )
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo", timeout=500)
+    assert "ROUTERS_OK" in res.stdout, res.stdout + res.stderr
+
+
 def test_pallas_engine_stream_roundtrip(rng):
     from lz4_tpu.streams import compress_stream, decompress_stream, get_engine
     eng = get_engine("pallas")

@@ -67,6 +67,65 @@ def test_native_malformed_inputs_raise(tiers):
         nat.safe_decompressor().decompress(b"\xf0\x01", 0, 2, bytearray(100), 0, 100)
 
 
+def _decode_with_canary(fn, src, dest_len, pad=64):
+    """Decode into an exactly-sized dest with a guard region after it;
+    fail if the decoder writes a single byte past dest_len (regression
+    guard for the shortcut-path envelope, advisor r1 finding #1)."""
+    import ctypes
+
+    buf = ctypes.create_string_buffer(dest_len + pad)
+    ctypes.memset(buf, 0xAB, dest_len + pad)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    srcbuf = ctypes.create_string_buffer(bytes(src), len(src)) if src else None
+    rc = fn(ctypes.cast(srcbuf, u8p), len(src), ctypes.cast(buf, u8p), dest_len)
+    assert buf.raw[dest_len:] == b"\xab" * pad, "decoder wrote past dest_len"
+    return rc, buf.raw[:dest_len]
+
+
+def test_decoder_shortcut_no_dest_overrun(tiers):
+    """A fully valid block whose penultimate sequence (14 literals +
+    dist=2/ml=18 match) starts with op == dest_len-37: inside the old
+    (too-narrow) 34-byte shortcut envelope, where the dist<8 wild tail
+    wrote 1 byte past dest. Must decode exactly, no writes past dest."""
+    from lz4_tpu.core.lz4_block_ref import decompress_safe as ref_safe
+    from lz4_tpu.native import bindings
+
+    lib = bindings.load()
+    n = 67
+    lits1 = bytes(range(1, 27))
+    lits2 = bytes(range(100, 114))
+    block = (
+        bytes([0xF0, 11]) + lits1 + bytes([1, 0])       # ll=26, ml=4, dist=1 -> op=30
+        + bytes([0xEE]) + lits2 + bytes([2, 0])          # ll=14, ml=18, dist=2 -> op=62
+        + bytes([0x50]) + b"ZZZZZ"                       # 5 trailing literals -> op=67
+    )
+    ref_out = bytearray(n)
+    assert ref_safe(block, 0, len(block), ref_out, 0, n) == n
+    expected = bytes(ref_out)
+
+    rc, out = _decode_with_canary(lib.tpulz4_decompress_safe, block, n)
+    assert rc == n and out == expected
+    rc, out = _decode_with_canary(lib.tpulz4_decompress_fast, block, n)
+    assert rc == len(block) and out == expected
+
+
+def test_decoder_no_dest_overrun_random_sweep(tiers, rng):
+    """Exact-size dest + canary over compressible random blocks at many
+    lengths (stresses every shortcut-envelope boundary)."""
+    from lz4_tpu.native import bindings
+
+    lib = bindings.load()
+    _, nat = tiers
+    comp = nat.fast_compressor()
+    for length in list(range(1, 96)) + [200, 1000, 65536]:
+        data = random_bytes(rng, length, 3)
+        c = comp.compress_alloc(data)
+        rc, out = _decode_with_canary(lib.tpulz4_decompress_safe, c, length)
+        assert rc == length and out == data
+        rc, out = _decode_with_canary(lib.tpulz4_decompress_fast, c, length)
+        assert rc == len(c) and out == data
+
+
 def test_native_dest_too_small(tiers, rng):
     _, nat = tiers
     data = random_bytes(rng, 70000, 256)
@@ -356,6 +415,38 @@ class TestOneShotDestReuse:
         buf = bytearray(len(data))
         dec, consumed = ni.decompress_block_stream_packed(st, dest=buf)
         assert bytes(dec) == data and consumed == len(st)
+
+    def test_frame_short_interior_blocks_content_sized_dest(self, calgary):
+        """Spec-valid frames from flushing writers have short interior
+        blocks; the stride layout must fall back to serial compaction and
+        still fit a content-sized dest (advisor r1 finding #3)."""
+        import io
+        from lz4_tpu.api import native_instances as ni
+        from lz4_tpu.formats import frame as fr
+        from lz4_tpu.formats.frame import BlockSize, FrameFlag
+
+        data = calgary["book1"][:200000]
+        out = io.BytesIO()
+        s = fr.Lz4FrameOutputStream(
+            out, block_size=BlockSize.SIZE_64KB,
+            features=(FrameFlag.BLOCK_INDEPENDENCE,
+                      FrameFlag.CONTENT_CHECKSUM))
+        # interleave writes and flushes -> short interior blocks
+        for cut in (500, 1300, 70000, 70100, len(data)):
+            s.write(data[(0 if cut == 500 else prev):cut])
+            prev = cut
+            s.flush()
+        s.close_keep_underlying()
+        framed = out.getvalue()
+
+        # exact content-sized reusable dest must work
+        buf = bytearray(len(data))
+        dec, consumed = ni.decompress_frame_packed(framed, dest=buf)
+        assert bytes(dec) == data and consumed == len(framed)
+        # auto-alloc path as well, at several thread counts
+        for t in (1, 2, 3):
+            got, consumed = ni.decompress_frame_packed(framed, n_threads=t)
+            assert got == data and consumed == len(framed)
 
 
 def test_frame_decompress_overlap_hash_threads(calgary):
