@@ -48,6 +48,8 @@ def load():
         lib.tpulz4_decompress_fast.argtypes = [_c_u8p, ctypes.c_int, _c_u8p, ctypes.c_int]
         lib.tpulz4_max_compressed_length.restype = ctypes.c_int
         lib.tpulz4_max_compressed_length.argtypes = [ctypes.c_int]
+        lib.tpulz4_release_scratch.restype = None
+        lib.tpulz4_release_scratch.argtypes = []
 
         lib.tpulz4_xxh32.restype = ctypes.c_uint32
         lib.tpulz4_xxh32.argtypes = [_c_u8p, ctypes.c_int64, ctypes.c_uint32]

@@ -16,6 +16,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <memory>
+#include <mutex>
 #include <vector>
 #include <thread>
 
@@ -1412,6 +1413,53 @@ namespace frame {
 inline void write_u32(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
 inline uint32_t read_u32(const uint8_t* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
 
+// Reusable scratch arena. The container compressors need ~1.2x the input
+// size of scratch; a fresh allocation that big is served by mmap, so every
+// call pays kernel page-zeroing + first-touch faults — a measurable slice
+// of a whole container compress. Keep the largest buffer alive and hand it
+// out under a try-lock; concurrent callers simply take a private
+// allocation.
+class ScratchLease {
+ public:
+  explicit ScratchLease(size_t size) {
+    if (mu().try_lock()) {
+      uint8_t*& buf = cached();
+      size_t& cap = cached_cap();
+      if (cap < size) {
+        std::free(buf);
+        buf = static_cast<uint8_t*>(std::malloc(size));
+        cap = buf ? size : 0;
+      }
+      if (buf) {
+        p_ = buf;
+        leased_ = true;
+        return;
+      }
+      mu().unlock();
+    }
+    p_ = static_cast<uint8_t*>(std::malloc(size));
+    leased_ = false;
+  }
+  ~ScratchLease() {
+    if (leased_) mu().unlock();
+    else std::free(p_);
+  }
+  uint8_t* get() const { return p_; }
+  static void release_cache() {
+    std::lock_guard<std::mutex> g(mu());
+    std::free(cached());
+    cached() = nullptr;
+    cached_cap() = 0;
+  }
+
+ private:
+  static std::mutex& mu() { static std::mutex m; return m; }
+  static uint8_t*& cached() { static uint8_t* b = nullptr; return b; }
+  static size_t& cached_cap() { static size_t c = 0; return c; }
+  uint8_t* p_;
+  bool leased_;
+};
+
 template <typename F>
 void parallel_for(int n, int n_threads, F f) {
   if (n_threads <= 1 || n <= 1) {
@@ -1469,57 +1517,103 @@ TPULZ4_API int64_t tpulz4_frame_compress(
   dest[d] = (uint8_t)(tpulz4_xxh32(dest + desc_off, d - desc_off, 0) >> 8);
   ++d;
 
-  // parallel block compress into scratch (per-block stride = cap)
-  std::vector<uint8_t> scratch((size_t)n * cap);
+  // parallel block compress into scratch (per-block stride = cap), with
+  // emission and the content checksum folded into the compress threads:
+  // after finishing a block, a thread tries to advance a shared in-order
+  // frontier that copies completed blocks into dest and hashes the raw
+  // input — so the old serial memcpy/hash tail runs concurrently with the
+  // remaining compression, cache-warm. Per-block checksums need no order
+  // and are computed on the thread that compressed the block.
+  frame::ScratchLease scratch((size_t)n * cap);
+  if (n > 0 && scratch.get() == nullptr) return TPULZ4_E_PARAM;
   std::vector<int32_t> clens(n);
-  frame::parallel_for(n, n_threads, [&](int i) {
-    int64_t off = (int64_t)i * bs;
-    int len = (int)(raw_len - off < bs ? raw_len - off : bs);
-    if (level <= 0) {
-      clens[i] = tpulz4_compress_fast(raw + off, len,
-                                      scratch.data() + (size_t)i * cap, cap);
-    } else {
-      clens[i] = tpulz4_compress_hc(raw + off, len,
-                                    scratch.data() + (size_t)i * cap, cap,
-                                    level);
-    }
-  });
+  std::vector<uint32_t> bsums(flags & TPULZ4F_BLOCK_CHECKSUM ? n : 0);
+  std::unique_ptr<std::atomic<int>[]> done(new std::atomic<int>[n ? n : 1]);
+  for (int i = 0; i < n; ++i) done[i].store(0, std::memory_order_relaxed);
+  std::atomic<int> emit_next{0};
+  std::atomic_flag emit_busy = ATOMIC_FLAG_INIT;
+  std::atomic<bool> had_error{false};
+  void* hstate = (flags & TPULZ4F_CONTENT_CHECKSUM) ? tpulz4_xxh32_create(0)
+                                                    : nullptr;
+  int64_t demit = d;  // mutated only while holding emit_busy / after join
 
-  // serial emission (memcpy-bound)
-  for (int i = 0; i < n; ++i) {
-    if (clens[i] < 0) return clens[i];
-    int64_t off = (int64_t)i * bs;
+  auto emit_block = [&](int j) {
+    int64_t off = (int64_t)j * bs;
     int raw_block = (int)(raw_len - off < bs ? raw_len - off : bs);
     const uint8_t* payload;
     uint32_t word;
     int plen;
-    if (clens[i] >= raw_block) {  // incompressible: store raw
+    if (clens[j] >= raw_block) {  // incompressible: store raw
       payload = raw + off;
       plen = raw_block;
       word = (uint32_t)raw_block | FRAME_INCOMPRESSIBLE;
     } else {
-      payload = scratch.data() + (size_t)i * cap;
-      plen = clens[i];
+      payload = scratch.get() + (size_t)j * cap;
+      plen = clens[j];
       word = (uint32_t)plen;
     }
-    frame::write_u32(dest + d, word);
-    d += 4;
-    std::memcpy(dest + d, payload, plen);
-    d += plen;
+    frame::write_u32(dest + demit, word);
+    demit += 4;
+    std::memcpy(dest + demit, payload, plen);
+    demit += plen;
     if (flags & TPULZ4F_BLOCK_CHECKSUM) {
-      frame::write_u32(dest + d, tpulz4_xxh32(payload, plen, 0));
-      d += 4;
+      frame::write_u32(dest + demit, bsums[j]);
+      demit += 4;
     }
+    if (hstate) tpulz4_xxh32_update(hstate, raw + off, raw_block);
+  };
+  auto advance_emit = [&] {
+    if (emit_busy.test_and_set(std::memory_order_acquire)) return;
+    int j = emit_next.load(std::memory_order_relaxed);
+    while (j < n && done[j].load(std::memory_order_acquire) == 1) {
+      emit_block(j);
+      ++j;
+    }
+    emit_next.store(j, std::memory_order_relaxed);
+    emit_busy.clear(std::memory_order_release);
+  };
+
+  frame::parallel_for(n, n_threads, [&](int i) {
+    int64_t off = (int64_t)i * bs;
+    int len = (int)(raw_len - off < bs ? raw_len - off : bs);
+    uint8_t* out = scratch.get() + (size_t)i * cap;
+    clens[i] = level <= 0 ? tpulz4_compress_fast(raw + off, len, out, cap)
+                          : tpulz4_compress_hc(raw + off, len, out, cap, level);
+    if (clens[i] < 0) {
+      had_error.store(true, std::memory_order_relaxed);
+      done[i].store(2, std::memory_order_release);
+      return;
+    }
+    if (flags & TPULZ4F_BLOCK_CHECKSUM) {
+      const bool stored_raw = clens[i] >= len;
+      bsums[i] = stored_raw ? tpulz4_xxh32(raw + off, len, 0)
+                            : tpulz4_xxh32(out, clens[i], 0);
+    }
+    done[i].store(1, std::memory_order_release);
+    if (!had_error.load(std::memory_order_relaxed)) advance_emit();
+  });
+  if (had_error.load(std::memory_order_relaxed)) {
+    if (hstate) tpulz4_xxh32_free(hstate);
+    for (int i = 0; i < n; ++i)
+      if (clens[i] < 0) return clens[i];
   }
+  for (int j = emit_next.load(std::memory_order_relaxed); j < n; ++j)
+    emit_block(j);  // drain whatever the parallel phase did not reach
+  d = demit;
 
   frame::write_u32(dest + d, 0);  // end mark
   d += 4;
   if (flags & TPULZ4F_CONTENT_CHECKSUM) {
-    frame::write_u32(dest + d, tpulz4_xxh32(raw, raw_len, 0));
+    frame::write_u32(dest + d, tpulz4_xxh32_digest(hstate));
+    tpulz4_xxh32_free(hstate);
     d += 4;
   }
   return d;
 }
+
+// Release the cached compress scratch arena (tests / memory-sensitive
+// hosts; safe to call at any time).
+TPULZ4_API void tpulz4_release_scratch() { frame::ScratchLease::release_cache(); }
 
 // Decompress one or more concatenated LZ4 frames (skippable frames are
 // skipped). Returns total decompressed length or a negative error;
@@ -1601,38 +1695,42 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
     }
 
     // parallel decompress at stride bs into dest (order-preserving compact
-    // afterwards if any interior block decodes short). With >= 3 threads
-    // the content checksum runs on a trailer thread that hashes blocks in
-    // order as decoders (n_threads - 1 of them) complete — overlapping
-    // hash and decode. Measured on a 2-core host the 3-runnable-thread
-    // form loses ~10% to contention, so 2 threads keep the serial hash.
+    // afterwards if any interior block decodes short). The content
+    // checksum is folded into the decoder threads: after finishing a
+    // block, a decoder tries to advance a shared in-order hash frontier
+    // over completed blocks. No dedicated hasher thread (a 3rd runnable
+    // thread loses ~10% to contention on a 2-core host), the hash work is
+    // spread across all decoders, and blocks are hashed cache-warm right
+    // after they are decoded.
     const int n = (int)blocks.size();
     const int64_t frame_dest = d;
     std::vector<int32_t> dlens(n, 0);
     std::vector<int32_t> errs(n, 0);
-    const bool overlap_hash = has_csum && n > 0 && n_threads >= 3;
+    const bool inband_hash = has_csum && n > 0;
     std::unique_ptr<std::atomic<int>[]> done;
-    std::thread hasher;
-    uint32_t content_hash = 0;
-    if (overlap_hash) {
+    std::atomic<int> hash_next{0};
+    std::atomic_flag hash_busy = ATOMIC_FLAG_INIT;
+    std::atomic<bool> had_error{false};
+    void* hstate = nullptr;
+    if (inband_hash) {
       done.reset(new std::atomic<int>[n]);
       for (int i = 0; i < n; ++i) done[i].store(0, std::memory_order_relaxed);
-      hasher = std::thread([&] {
-        void* st = tpulz4_xxh32_create(0);
-        for (int i = 0; i < n; ++i) {
-          int f;
-          while ((f = done[i].load(std::memory_order_acquire)) == 0)
-            std::this_thread::yield();
-          if (f == 2) break;  // decode error: result unused
-          tpulz4_xxh32_update(st, dest + frame_dest + (int64_t)i * bs,
-                              dlens[i]);
-        }
-        content_hash = tpulz4_xxh32_digest(st);
-        tpulz4_xxh32_free(st);
-      });
+      hstate = tpulz4_xxh32_create(0);
     }
-    frame::parallel_for(n, overlap_hash ? n_threads - 1 : n_threads,
-                        [&](int i) {
+    auto advance_hash = [&] {
+      // hash consecutive completed blocks, in order; try-lock so exactly
+      // one thread works the frontier while others keep decoding
+      if (hash_busy.test_and_set(std::memory_order_acquire)) return;
+      int j = hash_next.load(std::memory_order_relaxed);
+      while (j < n && done[j].load(std::memory_order_acquire) == 1) {
+        tpulz4_xxh32_update(hstate, dest + frame_dest + (int64_t)j * bs,
+                            dlens[j]);
+        ++j;
+      }
+      hash_next.store(j, std::memory_order_relaxed);
+      hash_busy.clear(std::memory_order_release);
+    };
+    frame::parallel_for(n, n_threads, [&](int i) {
       // stride-bs layout; every block clamps to the remaining capacity, so
       // an undersized dest surfaces as E_DEST_TOO_SMALL from the block
       int64_t out_off = frame_dest + (int64_t)i * bs;
@@ -1650,10 +1748,24 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
         std::memcpy(dest + out_off, src + blocks[i].off, blocks[i].len);
         dlens[i] = blocks[i].len;
       }
-      if (done)
+      if (done) {
+        if (errs[i] < 0) had_error.store(true, std::memory_order_relaxed);
         done[i].store(errs[i] < 0 ? 2 : 1, std::memory_order_release);
+        if (!had_error.load(std::memory_order_relaxed)) advance_hash();
+      }
     });
-    if (hasher.joinable()) hasher.join();
+    uint32_t content_hash = 0;
+    if (inband_hash) {
+      if (!had_error.load(std::memory_order_relaxed)) {
+        // drain whatever the decode phase did not reach (no-op usually)
+        int j = hash_next.load(std::memory_order_relaxed);
+        for (; j < n; ++j)
+          tpulz4_xxh32_update(hstate, dest + frame_dest + (int64_t)j * bs,
+                              dlens[j]);
+        content_hash = tpulz4_xxh32_digest(hstate);
+      }
+      tpulz4_xxh32_free(hstate);
+    }
     bool dest_small = false;
     for (int i = 0; i < n; ++i) {
       if (errs[i] == TPULZ4_E_DEST_TOO_SMALL) dest_small = true;
@@ -1702,7 +1814,7 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
       if (s + 4 > src_len) return TPULZ4_E_FRAME;
       uint32_t expect = frame::read_u32(src + s);
       s += 4;
-      uint32_t got = (overlap_hash && !used_serial)
+      uint32_t got = (inband_hash && !used_serial)
                          ? content_hash
                          : tpulz4_xxh32(dest + frame_dest, frame_total, 0);
       if (expect != got)
@@ -1764,42 +1876,74 @@ TPULZ4_API int64_t tpulz4_blockstream_compress(
   const int n = raw_len ? (int)((raw_len + block_size - 1) / block_size) : 0;
   const int cap = tpulz4_max_compressed_length(block_size);
 
-  std::vector<uint8_t> scratch((size_t)n * cap);
+  // parallel compress with emission folded into the compress threads via
+  // an in-order frontier (see tpulz4_frame_compress); block checksums are
+  // per-block (seeded, unordered) and run on the compressing thread.
+  frame::ScratchLease scratch((size_t)n * cap);
+  if (n > 0 && scratch.get() == nullptr) return TPULZ4_E_PARAM;
   std::vector<int32_t> clens(n);
   std::vector<uint32_t> checks(n);
+  std::unique_ptr<std::atomic<int>[]> done(new std::atomic<int>[n ? n : 1]);
+  for (int i = 0; i < n; ++i) done[i].store(0, std::memory_order_relaxed);
+  std::atomic<int> emit_next{0};
+  std::atomic_flag emit_busy = ATOMIC_FLAG_INIT;
+  std::atomic<bool> had_error{false};
+  int64_t demit = 0;
+
+  auto emit_block = [&](int j) {
+    int64_t off = (int64_t)j * block_size;
+    int olen = (int)(raw_len - off < block_size ? raw_len - off : block_size);
+    const uint8_t* payload;
+    int method, plen;
+    if (clens[j] >= olen) {
+      payload = raw + off;
+      plen = olen;
+      method = METHOD_RAW;
+    } else {
+      payload = scratch.get() + (size_t)j * cap;
+      plen = clens[j];
+      method = METHOD_LZ4;
+    }
+    std::memcpy(dest + demit, MAGIC, MAGIC_LEN);
+    dest[demit + MAGIC_LEN] = (uint8_t)(method | level);
+    frame::write_u32(dest + demit + MAGIC_LEN + 1, (uint32_t)plen);
+    frame::write_u32(dest + demit + MAGIC_LEN + 5, (uint32_t)olen);
+    frame::write_u32(dest + demit + MAGIC_LEN + 9, checks[j]);
+    demit += HEADER_LEN;
+    std::memcpy(dest + demit, payload, plen);
+    demit += plen;
+  };
+  auto advance_emit = [&] {
+    if (emit_busy.test_and_set(std::memory_order_acquire)) return;
+    int j = emit_next.load(std::memory_order_relaxed);
+    while (j < n && done[j].load(std::memory_order_acquire) == 1) {
+      emit_block(j);
+      ++j;
+    }
+    emit_next.store(j, std::memory_order_relaxed);
+    emit_busy.clear(std::memory_order_release);
+  };
+
   frame::parallel_for(n, n_threads, [&](int i) {
     int64_t off = (int64_t)i * block_size;
     int len = (int)(raw_len - off < block_size ? raw_len - off : block_size);
     checks[i] = tpulz4_xxh32(raw + off, len, SEED) & 0xFFFFFFFu;
     clens[i] = tpulz4_compress_fast(raw + off, len,
-                                    scratch.data() + (size_t)i * cap, cap);
-  });
-
-  int64_t d = 0;
-  for (int i = 0; i < n; ++i) {
-    if (clens[i] < 0) return clens[i];
-    int64_t off = (int64_t)i * block_size;
-    int olen = (int)(raw_len - off < block_size ? raw_len - off : block_size);
-    const uint8_t* payload;
-    int method, plen;
-    if (clens[i] >= olen) {
-      payload = raw + off;
-      plen = olen;
-      method = METHOD_RAW;
-    } else {
-      payload = scratch.data() + (size_t)i * cap;
-      plen = clens[i];
-      method = METHOD_LZ4;
+                                    scratch.get() + (size_t)i * cap, cap);
+    if (clens[i] < 0) {
+      had_error.store(true, std::memory_order_relaxed);
+      done[i].store(2, std::memory_order_release);
+      return;
     }
-    std::memcpy(dest + d, MAGIC, MAGIC_LEN);
-    dest[d + MAGIC_LEN] = (uint8_t)(method | level);
-    frame::write_u32(dest + d + MAGIC_LEN + 1, (uint32_t)plen);
-    frame::write_u32(dest + d + MAGIC_LEN + 5, (uint32_t)olen);
-    frame::write_u32(dest + d + MAGIC_LEN + 9, checks[i]);
-    d += HEADER_LEN;
-    std::memcpy(dest + d, payload, plen);
-    d += plen;
-  }
+    done[i].store(1, std::memory_order_release);
+    if (!had_error.load(std::memory_order_relaxed)) advance_emit();
+  });
+  if (had_error.load(std::memory_order_relaxed))
+    for (int i = 0; i < n; ++i)
+      if (clens[i] < 0) return clens[i];
+  for (int j = emit_next.load(std::memory_order_relaxed); j < n; ++j)
+    emit_block(j);
+  int64_t d = demit;
   // empty-block end marker (LZ4BlockOutputStream.java:255-266)
   std::memcpy(dest + d, MAGIC, MAGIC_LEN);
   dest[d + MAGIC_LEN] = (uint8_t)(METHOD_RAW | level);
