@@ -590,6 +590,12 @@ TPULZ4_API int tpulz4_compress_hc(const uint8_t* src, int src_len,
 }
 
 
+static inline unsigned read16le(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;  // little-endian hosts only (as the rest of the loads assume)
+}
+
 // wild copy: 8/16-byte strided copies with overrun allowed inside the
 // guarded region (callers ensure >= COPY_LENGTH slack or exact tail)
 static inline void wild_copy8(uint8_t* dst, const uint8_t* src, int len) {
@@ -691,61 +697,44 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
   const uint8_t* const iend = src + src_len;
   uint8_t* op = dest;
   uint8_t* const oend = dest + dest_len;
-  // shortcut envelope: token already consumed, 16B blind literal copy +
-  // 2B distance readable. Dest slack must cover the worst blind write:
-  // up to 14 literal bytes advance op, then the match copy can touch up
-  // to op+24 (three 8B strides, or the dist<8 expansion head + a wild
-  // 8B-strided tail of ceil(10/8)*8 = 16 bytes at op+8) => 14+24 = 38.
-  const uint8_t* const ishort = iend - 19;
-  uint8_t* const oshort = oend - 38;
+  // Split-shortcut envelopes. Literal shortcut: token consumed, blind 16B
+  // literal copy + 2B distance readable => ip <= iend-16 (ll <= 14 so the
+  // distance read at ip+ll+2 is covered too). Dest slack: 14 literal
+  // bytes advance op, then the blind match copy writes 8+8+2 = 18 =>
+  // op <= oend-32. A match that fails the blind test (ml == 15 or
+  // dist < 8) falls through to the fully guarded match path with the
+  // literals already copied.
+  const uint8_t* const ishort = iend - 16;
+  uint8_t* const oshort = oend - 32;
 
   for (;;) {
     if (ip >= iend) return TPULZ4_E_MALFORMED;
     unsigned token = *ip++;
+    int literal_len = token >> ML_BITS;
+    unsigned dist;
 
-    // shortcut: short literals + short match with ample slack — copy 16
-    // literal bytes blindly, then handle the match with a guaranteed-safe
-    // wild copy (the standard LZ4 hot-path specialization)
-    if (__builtin_expect(token < 0xF0 && (token & ML_MASK) != ML_MASK &&
-                         ip <= ishort && op <= oshort, 1)) {
-      unsigned ll = token >> ML_BITS;
+    if (__builtin_expect(literal_len != RUN_MASK && ip <= ishort &&
+                         op <= oshort, 1)) {
       std::memcpy(op, ip, 16);
-      ip += ll;
-      op += ll;
-      unsigned dist = ip[0] | (ip[1] << 8);
+      ip += literal_len;
+      op += literal_len;
+      dist = read16le(ip);
       ip += 2;
-      const uint8_t* match = op - dist;
-      unsigned ml = (token & ML_MASK) + MIN_MATCH;
-      if (match < dest) return TPULZ4_E_MALFORMED;
-      if (__builtin_expect(dist >= 16, 1)) {
-        // ml <= 18: one 16-byte move + a 2-byte tail (tail reads land on
-        // already-written bytes when dist is in [16, 18))
-        std::memcpy(op, match, 16);
-        std::memcpy(op + 16, match + 16, 2);
-        op += ml;
-        continue;
-      }
-      if (dist >= 8) {
-        // three 8-byte strides are safe at distance >= 8
+      unsigned mlf = token & ML_MASK;
+      if (__builtin_expect(mlf != ML_MASK && dist >= 8, 1)) {
+        const uint8_t* match = op - dist;
+        if (match < dest) return TPULZ4_E_MALFORMED;
+        // ml <= 18: two 8B strides + 2B tail (reads land on bytes the
+        // first strides just wrote when dist < 18)
         std::memcpy(op, match, 8);
         std::memcpy(op + 8, match + 8, 8);
-        std::memcpy(op + 16, match + 16, 8);
-        op += ml;
+        std::memcpy(op + 16, match + 16, 2);
+        op += mlf + MIN_MATCH;
         continue;
       }
-      if (dist == 0) { op += ml; continue; }
-      // dist in [1, 8): expansion trick, >= 34B slack covers the wild tail
-      op[0] = match[0];
-      op[1] = match[1];
-      op[2] = match[2];
-      op[3] = match[3];
-      std::memcpy(op + 4, match + kOverlapStep4[dist], 4);
-      if (ml > 8) wild_copy8(op + 8, op + 8 - kRunDist8[dist], ml - 8);
-      op += ml;
-      continue;
+      goto have_dist;  // long or overlapping match: guarded path
     }
 
-    int literal_len = token >> ML_BITS;
     if (literal_len == RUN_MASK) {
       int b = 0xFF;
       while (ip < iend) {
@@ -756,44 +745,51 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
       literal_len += b;
     }
 
-    uint8_t* lit_end = op + literal_len;
-    if (lit_end > oend - COPY_LENGTH || ip + literal_len > iend - COPY_LENGTH) {
-      if (lit_end > oend) return TPULZ4_E_DEST_TOO_SMALL;
-      if (ip + literal_len != iend) return TPULZ4_E_MALFORMED;
-      std::memcpy(op, ip, literal_len);
+    {
+      uint8_t* lit_end = op + literal_len;
+      if (lit_end > oend - COPY_LENGTH ||
+          ip + literal_len > iend - COPY_LENGTH) {
+        if (lit_end > oend) return TPULZ4_E_DEST_TOO_SMALL;
+        if (ip + literal_len != iend) return TPULZ4_E_MALFORMED;
+        std::memcpy(op, ip, literal_len);
+        op = lit_end;
+        break;  // EOF
+      }
+      if (literal_len > 0 && lit_end + 16 <= oend &&
+          ip + literal_len + 16 <= iend) {
+        wild_copy16(op, ip, literal_len);
+      } else {
+        std::memcpy(op, ip, literal_len);
+      }
+      ip += literal_len;
       op = lit_end;
-      break;  // EOF
     }
-    if (literal_len > 0 && lit_end + 16 <= oend && ip + literal_len + 16 <= iend) {
-      wild_copy16(op, ip, literal_len);
-    } else {
-      std::memcpy(op, ip, literal_len);
-    }
-    ip += literal_len;
-    op = lit_end;
 
-    unsigned dist = ip[0] | (ip[1] << 8);
+    dist = read16le(ip);
     ip += 2;
+  have_dist:
     if (op - dest < (std::ptrdiff_t)dist) return TPULZ4_E_MALFORMED;
 
-    int match_len = token & ML_MASK;
-    if (match_len == ML_MASK) {
-      int b = 0xFF;
-      while (ip < iend) {
-        b = *ip++;
-        if (b != 0xFF) break;
-        match_len += 0xFF;
+    {
+      int match_len = token & ML_MASK;
+      if (match_len == ML_MASK) {
+        int b = 0xFF;
+        while (ip < iend) {
+          b = *ip++;
+          if (b != 0xFF) break;
+          match_len += 0xFF;
+        }
+        match_len += b;
       }
-      match_len += b;
-    }
-    match_len += MIN_MATCH;
+      match_len += MIN_MATCH;
 
-    if (op + match_len > oend) return TPULZ4_E_MALFORMED;
-    if (dist != 0) {
-      match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
-                 (int)dist, match_len, dest_len);
+      if (op + match_len > oend) return TPULZ4_E_MALFORMED;
+      if (dist != 0) {
+        match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
+                   (int)dist, match_len, dest_len);
+      }
+      op += match_len;
     }
-    op += match_len;
   }
   return (int)(op - dest);
 }
@@ -806,56 +802,41 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
     return 1;
   }
 
-  // pointer-based hot loop; see tpulz4_decompress_safe for the derivation
+  // pointer-based hot loop; see tpulz4_decompress_safe for the
+  // split-shortcut and envelope derivations
   const uint8_t* ip = src;
   const uint8_t* const iend = src + src_avail;
   uint8_t* op = dest;
   uint8_t* const oend = dest + dest_len;
-  // see tpulz4_decompress_safe for the 38-byte envelope derivation
-  const uint8_t* const ishort = iend - 19;
-  uint8_t* const oshort = oend - 38;
+  const uint8_t* const ishort = iend - 16;
+  uint8_t* const oshort = oend - 32;
 
   for (;;) {
     if (ip >= iend) return TPULZ4_E_MALFORMED;
     unsigned token = *ip++;
+    int literal_len = token >> ML_BITS;
+    unsigned dist;
 
-    // shortcut fast path (see tpulz4_decompress_safe)
-    if (__builtin_expect(token < 0xF0 && (token & ML_MASK) != ML_MASK &&
-                         ip <= ishort && op <= oshort, 1)) {
-      unsigned ll = token >> ML_BITS;
+    if (__builtin_expect(literal_len != RUN_MASK && ip <= ishort &&
+                         op <= oshort, 1)) {
       std::memcpy(op, ip, 16);
-      ip += ll;
-      op += ll;
-      unsigned dist = ip[0] | (ip[1] << 8);
+      ip += literal_len;
+      op += literal_len;
+      dist = read16le(ip);
       ip += 2;
-      const uint8_t* match = op - dist;
-      unsigned ml = (token & ML_MASK) + MIN_MATCH;
-      if (match < dest) return TPULZ4_E_MALFORMED;
-      if (__builtin_expect(dist >= 16, 1)) {
-        std::memcpy(op, match, 16);
-        std::memcpy(op + 16, match + 16, 2);
-        op += ml;
-        continue;
-      }
-      if (dist >= 8) {
+      unsigned mlf = token & ML_MASK;
+      if (__builtin_expect(mlf != ML_MASK && dist >= 8, 1)) {
+        const uint8_t* match = op - dist;
+        if (match < dest) return TPULZ4_E_MALFORMED;
         std::memcpy(op, match, 8);
         std::memcpy(op + 8, match + 8, 8);
-        std::memcpy(op + 16, match + 16, 8);
-        op += ml;
+        std::memcpy(op + 16, match + 16, 2);
+        op += mlf + MIN_MATCH;
         continue;
       }
-      if (dist == 0) { op += ml; continue; }
-      op[0] = match[0];
-      op[1] = match[1];
-      op[2] = match[2];
-      op[3] = match[3];
-      std::memcpy(op + 4, match + kOverlapStep4[dist], 4);
-      if (ml > 8) wild_copy8(op + 8, op + 8 - kRunDist8[dist], ml - 8);
-      op += ml;
-      continue;
+      goto have_dist;  // long or overlapping match: guarded path
     }
 
-    int literal_len = token >> ML_BITS;
     if (literal_len == RUN_MASK) {
       for (;;) {
         if (ip >= iend) return TPULZ4_E_MALFORMED;
@@ -865,45 +846,51 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
       }
     }
 
-    uint8_t* lit_end = op + literal_len;
-    if (lit_end > oend - COPY_LENGTH) {
-      if (lit_end != oend) return TPULZ4_E_MALFORMED;
-      if (ip + literal_len > iend) return TPULZ4_E_MALFORMED;
-      std::memcpy(op, ip, literal_len);
+    {
+      uint8_t* lit_end = op + literal_len;
+      if (lit_end > oend - COPY_LENGTH) {
+        if (lit_end != oend) return TPULZ4_E_MALFORMED;
+        if (ip + literal_len > iend) return TPULZ4_E_MALFORMED;
+        std::memcpy(op, ip, literal_len);
+        ip += literal_len;
+        op = lit_end;
+        break;  // EOF
+      }
+      if (ip + literal_len + 2 > iend) return TPULZ4_E_MALFORMED;
+      if (literal_len > 0 && lit_end + 16 <= oend &&
+          ip + literal_len + 16 <= iend) {
+        wild_copy16(op, ip, literal_len);
+      } else {
+        std::memcpy(op, ip, literal_len);
+      }
       ip += literal_len;
       op = lit_end;
-      break;  // EOF
     }
-    if (ip + literal_len + 2 > iend) return TPULZ4_E_MALFORMED;
-    if (literal_len > 0 && lit_end + 16 <= oend && ip + literal_len + 16 <= iend) {
-      wild_copy16(op, ip, literal_len);
-    } else {
-      std::memcpy(op, ip, literal_len);
-    }
-    ip += literal_len;
-    op = lit_end;
 
-    unsigned dist = ip[0] | (ip[1] << 8);
+    dist = read16le(ip);
     ip += 2;
+  have_dist:
     if (op - dest < (std::ptrdiff_t)dist) return TPULZ4_E_MALFORMED;
 
-    int match_len = token & ML_MASK;
-    if (match_len == ML_MASK) {
-      for (;;) {
-        if (ip >= iend) return TPULZ4_E_MALFORMED;
-        int b = *ip++;
-        if (b != 0xFF) { match_len += b; break; }
-        match_len += 0xFF;
+    {
+      int match_len = token & ML_MASK;
+      if (match_len == ML_MASK) {
+        for (;;) {
+          if (ip >= iend) return TPULZ4_E_MALFORMED;
+          int b = *ip++;
+          if (b != 0xFF) { match_len += b; break; }
+          match_len += 0xFF;
+        }
       }
-    }
-    match_len += MIN_MATCH;
+      match_len += MIN_MATCH;
 
-    if (op + match_len > oend) return TPULZ4_E_MALFORMED;
-    if (dist != 0) {
-      match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
-                 (int)dist, match_len, dest_len);
+      if (op + match_len > oend) return TPULZ4_E_MALFORMED;
+      if (dist != 0) {
+        match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
+                   (int)dist, match_len, dest_len);
+      }
+      op += match_len;
     }
-    op += match_len;
   }
   return (int)(ip - src);
 }
@@ -1768,8 +1755,15 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
     }
     bool dest_small = false;
     for (int i = 0; i < n; ++i) {
-      if (errs[i] == TPULZ4_E_DEST_TOO_SMALL) dest_small = true;
-      else if (errs[i] < 0) return errs[i];
+      // a block whose stride slot was clamped below bs can fail with any
+      // error code mid-decode (e.g. a match crossing the clamped end looks
+      // malformed) — route every clamped-block failure through the serial
+      // fallback, which decodes at full bs capacity and reports truthfully
+      bool clamped = frame_dest + (int64_t)i * bs + bs > dest_cap;
+      if (errs[i] == TPULZ4_E_DEST_TOO_SMALL || (errs[i] < 0 && clamped))
+        dest_small = true;
+      else if (errs[i] < 0)
+        return errs[i];
     }
 
     int64_t w = frame_dest;

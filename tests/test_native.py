@@ -449,6 +449,20 @@ class TestOneShotDestReuse:
             assert got == data and consumed == len(framed)
 
 
+def test_frame_auto_grow_highly_compressible(calgary):
+    """Auto-alloc decompress starts from a 4x-compressed-size guess; on
+    >4:1 frames the first pass runs with a clamped dest and can fail
+    mid-match (which used to surface as Malformed instead of retrying).
+    Regression: one 4MB-block frame of pic tiled >4MB must roundtrip."""
+    from lz4_tpu.api import native_instances as ni
+    data = calgary["pic"] * 8  # ~4.1 MB, ratio ~6:1
+    for flags in (0, ni.F_CONTENT_CHECKSUM):
+        frm = ni.compress_frame_packed(data, 7, flags)
+        assert len(frm) * 4 < len(data)  # guess genuinely too small
+        out, consumed = ni.decompress_frame_packed(frm)
+        assert out == data and consumed == len(frm)
+
+
 def test_frame_decompress_overlap_hash_threads(calgary):
     """>=3 threads route the content checksum through the trailer thread;
     results and error behavior must match the serial-hash path."""
