@@ -176,6 +176,49 @@ def bench_native_formats(corpus: bytes):
         times.append(time.time() - t0)
     out["hc9_compress_gbps"] = round(len(hc_data) / min(times) / 1e9, 4)
     out["hc9_ratio"] = round(int(lens.sum()) / len(hc_data), 4)
+    out.update(_hc_ratio_vs_upstream(hc_data))
+    return out
+
+
+def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
+    """HC parity evidence, measured live:
+
+    - byte parity with the reference algorithm (the lz4-java HC port) is
+      re-asserted against the pure-Python oracle on a 128 KB sample ->
+      hc9_ratio_vs_reference is a measured 1.0, not a claim;
+    - compressed size vs system liblz4's HC at the same level is reported
+      as a ratio (<= 1.0 is at-least-as-small; upstream lz4hc has evolved
+      past the version lz4-java ports, so byte equality is not expected
+      there, only mutual decodability — pinned by the interop tests).
+    """
+    import ctypes
+
+    from lz4_tpu.api.factory import Lz4Factory
+    from lz4_tpu.core.lz4_hc_ref import compress_hc_alloc
+
+    out = {}
+    hc = Lz4Factory.native_instance().high_compressor(level)
+    oracle_sample = data[:128 << 10]
+    ours_small = hc.compress_alloc(oracle_sample)
+    assert ours_small == bytes(compress_hc_alloc(oracle_sample, level)), \
+        "HC output diverged from the reference oracle"
+    out["hc9_ratio_vs_reference"] = 1.0  # asserted byte-identical above
+
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+        sample = data[:1 << 20]
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compress_HC.restype = ctypes.c_int
+        lib.LZ4_compress_HC.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int]
+        bound = lib.LZ4_compressBound(len(sample))
+        buf = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_HC(sample, buf, len(sample), bound, level)
+        out["hc9_bytes_vs_liblz4_hc9"] = round(
+            len(hc.compress_alloc(sample)) / n, 4)
+    except OSError:
+        pass
     return out
 
 
@@ -263,6 +306,31 @@ def bench_safe_fallback(corpus: bytes):
     }
 
 
+def bench_scaling_surrogate():
+    """Fixed-work sharded compress at 1/2/4/8 virtual devices (subprocess:
+    the CPU mesh must not disturb this process's TPU backend). The measured
+    proxy for the >=80% scaling-efficiency target — see dist/scaling.py."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent)
+    try:
+        res = subprocess.run(
+            [sys.executable, "-m", "lz4_tpu.dist.scaling"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=str(pathlib.Path(__file__).parent))
+        data = json.loads(res.stdout.strip().splitlines()[-1])
+        t = data["times_s"]
+        eff = t["1"] / (8 * t["8"]) if "8" in t and t["8"] > 0 else None
+        return {"sharded_step_times_s": t,
+                "scaling_efficiency_1to8": round(eff, 3) if eff else None}
+    except Exception as e:  # never break the bench line
+        return {"sharded_step_times_s": f"unavailable: {type(e).__name__}"}
+
+
 def main():
     corpus = load_corpus()
     try:
@@ -274,6 +342,7 @@ def main():
         formats = bench_native_formats(corpus)
     except Exception as e:
         formats = {"formats": f"unavailable: {type(e).__name__}: {e}"}
+    scaling = bench_scaling_surrogate()
     tpu_seg = bench_tpu_segment_decode(corpus)
     tpu_hash = bench_tpu_xxh32()
     tpu_hash64 = bench_tpu_xxh64()
@@ -294,6 +363,7 @@ def main():
                 if k in native}),
             "ratio_vs_reference": 1.0,  # byte-identical output by construction
             **formats,
+            **scaling,
             "tpu_segment_decode_gbps": (round(tpu_seg, 4)
                                         if isinstance(tpu_seg, float)
                                         else tpu_seg),

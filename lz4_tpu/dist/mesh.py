@@ -30,3 +30,13 @@ def block_mesh(n_devices: int | None = None) -> Mesh:
                 f"requested {n_devices} devices, only {len(devs)} available")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (BLOCK_AXIS,))
+
+
+def local_block_mesh() -> Mesh:
+    """1-D mesh over this process's local devices only.
+
+    In a multi-process (DCN) run each process shards its owned block range
+    over its own chips; the cross-host exchange happens above the mesh in
+    ``dist/multihost.py``, so the per-process data plane stays addressable.
+    """
+    return Mesh(np.array(jax.local_devices()), (BLOCK_AXIS,))

@@ -6,10 +6,11 @@ compresses the block range it owns with its local chips, and the frame is
 assembled in global block order — ordering gives byte-exact reassembly for
 free because frame blocks are independent (``LZ4FrameOutputStream.java:58``).
 
-This module is validated in-degenerate-form at process_count == 1 (the only
-topology this environment offers); the collective path uses
-``jax.experimental.multihost_utils.process_allgather``, which is a no-op
-pass-through at one process.
+The collective path uses
+``jax.experimental.multihost_utils.process_allgather`` (DCN/Gloo); it is
+validated for real at ``process_count == 2`` by ``dryrun_multihost`` below
+(two local processes on the CPU backend), and degenerates to a pass-through
+at one process.
 """
 
 from __future__ import annotations
@@ -61,6 +62,13 @@ def compress_blocks_multihost(blocks: list[bytes], mesh=None) -> list[bytes] | N
     """
     from .sharded import shard_compress_blocks
 
+    if mesh is None and jax.process_count() > 1:
+        # each process shards its owned range over its OWN chips; the
+        # cross-host exchange below runs above the mesh, so the data plane
+        # must stay process-addressable
+        from .mesh import local_block_mesh
+        mesh = local_block_mesh()
+
     start, end = process_block_range(len(blocks))
     local = shard_compress_blocks(blocks[start:end], mesh) if end > start else []
 
@@ -96,3 +104,70 @@ def compress_blocks_multihost(blocks: list[bytes], mesh=None) -> list[bytes] | N
             out.append(all_blobs[p, pos:pos + ln].tobytes())
             pos += ln
     return out
+
+
+def compress_frame_multihost(data: bytes, block_size: int = 1 << 16,
+                             mesh=None, content_checksum: bool = True) -> bytes:
+    """Compress ``data`` into one byte-exact LZ4 frame cooperatively across
+    all hosts: every process compresses its owned block range on its local
+    chips, the per-block payloads are allgathered over DCN in global block
+    order, and every process assembles the identical frame."""
+    from .sharded import assemble_frame, split_frame_blocks
+
+    blocks = split_frame_blocks(data, block_size)
+    compressed = compress_blocks_multihost(blocks, mesh) if blocks else []
+    return assemble_frame(data, blocks, compressed, block_size,
+                          content_checksum)
+
+
+_DRYRUN_WORKER = r"""
+import os, sys
+pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lz4_tpu.dist import multihost
+multihost.initialize("localhost:" + port, 2, pid)
+assert jax.process_count() == 2
+import numpy as np
+rng = np.random.default_rng(7)
+data = rng.integers(0, 5, 3 * 65536 + 1234, dtype=np.uint8).tobytes()
+frame = multihost.compress_frame_multihost(data, 1 << 16)
+with open(out_path, "wb") as f:
+    f.write(frame)
+"""
+
+
+def dryrun_multihost(port: int = 12377, timeout: float = 300.0) -> bytes:
+    """Validate the real multi-process DCN path: spawn two local processes
+    on the CPU backend, run ``compress_frame_multihost`` end-to-end through
+    the allgather exchange, and require both processes to produce the same
+    byte-exact frame. Returns that frame (caller may verify against the
+    host writer).
+    """
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import tempfile
+
+    pkg_root = str(pathlib.Path(__file__).resolve().parents[2])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    with tempfile.TemporaryDirectory() as td:
+        procs = []
+        outs = [str(pathlib.Path(td) / f"frame_{p}.bin") for p in (0, 1)]
+        for p in (0, 1):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", _DRYRUN_WORKER, str(p), str(port),
+                 outs[p]],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env))
+        for pr in procs:
+            out, err = pr.communicate(timeout=timeout)
+            if pr.returncode != 0:
+                raise RuntimeError(f"dryrun_multihost worker failed:\n{err}")
+        frames = [pathlib.Path(o).read_bytes() for o in outs]
+        if frames[0] != frames[1]:
+            raise RuntimeError("multihost frames differ between processes")
+        return frames[0]

@@ -125,24 +125,26 @@ def shard_xxh32(data, lens, seed: int = 0, mesh=None):
     return _xxh32_sharded(data, lens, seed, mesh)
 
 
-def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
-                           mesh=None, content_checksum: bool = True) -> bytes:
-    """Compress a byte string into a standard LZ4 frame, blocks sharded
-    over the mesh: device compress + device block prep, host-ordered
-    assembly into a byte-exact frame readable by any LZ4 frame reader."""
+def split_frame_blocks(data: bytes, block_size: int) -> list[bytes]:
+    """Chunk ``data`` into frame blocks, validating the frame block size."""
+    from ..formats.frame import BlockSize
+
+    if block_size not in {int(b.num_bytes) for b in BlockSize}:
+        raise ValueError("block_size must be one of 64KB/256KB/1MB/4MB")
+    return [data[i:i + block_size] for i in range(0, len(data), block_size)]
+
+
+def assemble_frame(data: bytes, blocks: list[bytes], compressed: list[bytes],
+                   block_size: int, content_checksum: bool = True) -> bytes:
+    """Host-ordered assembly of per-block compressed payloads into one
+    byte-exact LZ4 frame (incompressible mask, end mark, content hash) —
+    shared by the single-process sharded path and the multi-host path."""
     import struct
     from ..formats.frame import (
         BlockSize, FrameFlag, INCOMPRESSIBLE_MASK, MAGIC, _flg_to_byte)
     from ..api.factory import XXHashFactory
 
-    size_enum = {1 << 16: BlockSize.SIZE_64KB, 1 << 18: BlockSize.SIZE_256KB,
-                 1 << 20: BlockSize.SIZE_1MB, 1 << 22: BlockSize.SIZE_4MB}
-    if block_size not in size_enum:
-        raise ValueError("block_size must be one of 64KB/256KB/1MB/4MB")
-    blocks = [data[i:i + block_size] for i in range(0, len(data), block_size)]
-
-    compressed = shard_compress_blocks(blocks, mesh) if blocks else []
-
+    size_enum = {b.num_bytes: b for b in BlockSize}
     flags = {FrameFlag.BLOCK_INDEPENDENCE}
     if content_checksum:
         flags.add(FrameFlag.CONTENT_CHECKSUM)
@@ -164,6 +166,17 @@ def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
         s.update(data)
         out += struct.pack("<I", s.get_value() & 0xFFFFFFFF)
     return bytes(out)
+
+
+def compress_frame_sharded(data: bytes, block_size: int = 1 << 16,
+                           mesh=None, content_checksum: bool = True) -> bytes:
+    """Compress a byte string into a standard LZ4 frame, blocks sharded
+    over the mesh: device compress + device block prep, host-ordered
+    assembly into a byte-exact frame readable by any LZ4 frame reader."""
+    blocks = split_frame_blocks(data, block_size)
+    compressed = shard_compress_blocks(blocks, mesh) if blocks else []
+    return assemble_frame(data, blocks, compressed, block_size,
+                          content_checksum)
 
 
 def sharded_roundtrip_step(mesh, n_blocks_per_dev: int = 2, block_len: int = 256):

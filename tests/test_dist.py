@@ -59,3 +59,22 @@ def test_sharded_roundtrip_step(mesh):
     ok, total = sharded_roundtrip_step(mesh, n_blocks_per_dev=2, block_len=256)
     assert ok.all()
     assert total > 0
+
+
+def test_multihost_two_processes_byte_exact():
+    """Real 2-process DCN run (local CPU backend, Gloo collectives): the
+    allgather exchange in compress_blocks_multihost must produce, on both
+    processes, the byte-exact frame the host one-shot writer produces
+    (XXHash/LZ4 device codecs are byte-identical by construction)."""
+    from lz4_tpu.dist.multihost import dryrun_multihost
+    from lz4_tpu.formats.frame import compress_frame, FrameFlag, BlockSize
+
+    frame = dryrun_multihost(port=12391)
+
+    rng_np = np.random.default_rng(7)
+    data = rng_np.integers(0, 5, 3 * 65536 + 1234, dtype=np.uint8).tobytes()
+    expect = compress_frame(
+        data, block_size=BlockSize.SIZE_64KB,
+        features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM))
+    assert frame == expect
+    assert decompress_frame(frame) == data
