@@ -228,7 +228,8 @@ def compress_hc(src, src_off: int, src_len: int, dest, dest_off: int,
             s_off += 1
             continue
 
-        # saved, in case we would skip too much
+        # stash the first candidate: the lazy search below may overshoot
+        # and need to restore it
         match0.copy_from(match1)
 
         # --- search2 loop ---
@@ -245,7 +246,9 @@ def compress_hc(src, src_off: int, src_len: int, dest, dest_off: int,
                 break  # continue main
 
             if match0.start < match1.start:
-                if match2.start < match1.start + match0.len:  # empirical
+                # upstream HC's overshoot-restore heuristic; must be mirrored
+                # exactly for byte-identical output
+                if match2.start < match1.start + match0.len:
                     match1.copy_from(match0)
             assert match2.start > match1.start
 
