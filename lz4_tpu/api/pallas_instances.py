@@ -14,6 +14,8 @@ finder in dense device arrays).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.constants import DEFAULT_COMPRESSION_LEVEL, max_compressed_length
@@ -37,6 +39,46 @@ def _pad4(n: int) -> int:
     return max(4, (n + 3) & ~3)
 
 
+# -- Mosaic routing ----------------------------------------------------------
+#
+# The batch APIs run the hand-written Mosaic kernels (kernels/lz4_pallas.py,
+# kernels/xxhash_pallas.py) whenever an accelerator backend is present;
+# on CPU they use the pure-JAX lockstep kernels (byte-identical output), or
+# the Mosaic kernels in Pallas interpreter mode when
+# ``TPULZ4_PALLAS_INTERPRET=1`` (slow; used by tests to pin the routing).
+
+def _mosaic_mode():
+    """'device' on an accelerator backend, 'interpret' when forced, else None."""
+    if os.environ.get("TPULZ4_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            return "device"
+    except Exception:  # pragma: no cover - no backend at all
+        pass
+    return None
+
+
+def _to_i32_layout(blocks, cap: int, pad: int):
+    """list[bytes] -> (int32[N, cap+pad] one-byte-per-element, int32[N])."""
+    n = len(blocks)
+    arr = np.zeros((n, cap + pad), np.int32)
+    lens = np.zeros((n,), np.int32)
+    for i, b in enumerate(blocks):
+        if b:
+            arr[i, :len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    return arr, lens
+
+
+def _from_i32_layout(out, lens):
+    out = np.asarray(out)
+    lens = np.asarray(lens)
+    return [out[i, :int(lens[i])].astype(np.uint8).tobytes()
+            for i in range(len(lens))]
+
+
 class FastCompressor(Lz4Compressor):
     def compress(self, src, src_off, src_len, dest, dest_off, max_dest_len):
         _check_range(src, src_off, src_len)
@@ -56,9 +98,25 @@ class FastCompressor(Lz4Compressor):
 
     # ---- batched device API (used by dist/) ----
     def compress_batch(self, blocks: list[bytes]):
-        """Compress many blocks on device; returns list[bytes]."""
+        """Compress many blocks on device; returns list[bytes].
+
+        Routes to the Mosaic kernel (kernels/lz4_pallas.py) on accelerator
+        backends; pure-JAX lockstep kernel on CPU. Output is byte-identical
+        either way (both mirror compress.template:16-261 exactly).
+        """
         if not blocks:
             return []
+        mode = _mosaic_mode()
+        if mode is not None:
+            from ..kernels import lz4_pallas as lp
+            cap = _pad4(max(len(b) for b in blocks))
+            arr, lens = _to_i32_layout(blocks, cap, lp.PAD)
+            out, out_lens, err = lp.compress_fast_pallas(
+                arr, lens, max_compressed_length(cap),
+                interpret=(mode == "interpret"))
+            if np.asarray(err).any():
+                raise Lz4Error("device compression failed")
+            return _from_i32_layout(out, out_lens)
         cap = _pad4(max(len(b) for b in blocks))
         arr, lens = jax_codec.to_device_layout(blocks, cap)
         out, out_lens, err = jax_codec.compress_fast_batch(
@@ -127,9 +185,25 @@ class SafeDecompressor(Lz4SafeDecompressor):
         return n
 
     def decompress_batch(self, blocks: list[bytes], max_dest_len: int):
-        """Decompress many blocks on device; returns list[bytes]."""
+        """Decompress many blocks on device; returns list[bytes].
+
+        Mosaic kernel on accelerator backends, pure-JAX kernel on CPU —
+        see FastCompressor.compress_batch.
+        """
         if not blocks:
             return []
+        mode = _mosaic_mode()
+        if mode is not None:
+            from ..kernels import lz4_pallas as lp
+            cap = _pad4(max(len(b) for b in blocks))
+            arr, lens = _to_i32_layout(blocks, cap, lp.PAD)
+            out, out_lens, err = lp.decompress_safe_pallas(
+                arr, lens, max_dest_len, interpret=(mode == "interpret"))
+            codes = np.asarray(err)
+            if codes.any():
+                bad = int(np.nonzero(codes)[0][0])
+                raise Lz4Error(f"Malformed input in block {bad}")
+            return _from_i32_layout(out, out_lens)
         cap = _pad4(max(len(b) for b in blocks))
         arr, lens = jax_codec.to_device_layout(blocks, cap)
         out, out_lens, err = jax_codec.decompress_safe_batch(
@@ -182,8 +256,30 @@ class XXH32(XXHash32):
         return _s32(h[0])
 
     def hash_batch(self, data, lengths, seed=0):
-        """uint8[N, L], int32[N] -> uint32[N] on device."""
-        return xxh32_batch(data, lengths, int(seed) & 0xFFFFFFFF)
+        """uint8[N, L], int32[N] -> uint32[N] on device.
+
+        Uniform-length batches (L % 32 == 0, all lengths == L) route to the
+        Mosaic tile kernel (kernels/xxhash_pallas.py) on accelerator
+        backends, padding N up to the kernel's 1024-block tile; ragged
+        batches use the general pure-JAX kernel.
+        """
+        mode = _mosaic_mode()
+        data = np.asarray(data)
+        lens = np.asarray(lengths)
+        n, l = data.shape
+        uniform = (l >= 32 and l % 32 == 0 and bool((lens == l).all()))
+        if mode is not None and uniform and n > 0:
+            from ..kernels.xxhash_pallas import (
+                TILE, to_tile_layout_np, xxh32_words_pallas)
+            n_pad = ((n + TILE - 1) // TILE) * TILE
+            if n_pad != n:
+                data = np.concatenate(
+                    [data, np.zeros((n_pad - n, l), np.uint8)], axis=0)
+            words = to_tile_layout_np(data)
+            h = xxh32_words_pallas(words, l, int(seed) & 0xFFFFFFFF,
+                                   interpret=(mode == "interpret"))
+            return h[:n]
+        return xxh32_batch(data, lens, int(seed) & 0xFFFFFFFF)
 
 
 class XXH64(XXHash64):
@@ -198,40 +294,55 @@ class XXH64(XXHash64):
 
 
 class StreamingXXH32(StreamingXXHash32):
-    """Streaming hash for the device tier.
+    """Device-resident streaming hash.
 
-    The xxHash streaming state is tiny (4 accumulators + <16B remainder), so
-    chunk accumulation runs on the host reference state machine while one-shot
-    bulk hashing uses the device kernels — the same split the reference makes
-    between streaming JNI state and one-shot calls.
+    The state (v1..v4, <16B remainder, 64-bit total length) lives as device
+    arrays; full chunks advance through ``lax.scan`` and ragged tails through
+    a dynamic-trip stripe loop (kernels/xxhash_stream.py) — the TPU-native
+    analog of the reference state machine
+    (``xxhash32_streaming.template:26-139``). ``get_value`` is a
+    non-destructive jitted digest.
     """
 
     def __init__(self, seed: int):
         super().__init__(seed)
-        from ..core.xxhash_ref import StreamingXXH32 as _Ref
-        self._state = _Ref(seed)
+        from ..kernels import xxhash_stream as _xs
+        self._xs = _xs
+        self._state = _xs.stream32_init(seed)
 
     def update(self, buf, off: int = 0, length: int | None = None):
-        self._state.update(buf, off, length)
+        if length is None:
+            length = len(buf) - off
+        _check_range(buf, off, length)
+        self._state = self._xs.absorb_bytes32(
+            self._state, bytes(buf[off:off + length]))
 
     def get_value(self) -> int:
-        return _s32(self._state.get_value())
+        return _s32(self._xs.digest32(self._state))
 
     def reset(self) -> None:
-        self._state.reset()
+        self._state = self._xs.stream32_init(self.seed)
 
 
 class StreamingXXH64(StreamingXXHash64):
+    """Device-resident streaming hash; 64-bit lanes as (hi, lo) uint32 pairs
+    (TPUs have no native int64). See StreamingXXH32."""
+
     def __init__(self, seed: int):
         super().__init__(seed)
-        from ..core.xxhash_ref import StreamingXXH64 as _Ref
-        self._state = _Ref(seed)
+        from ..kernels import xxhash_stream as _xs
+        self._xs = _xs
+        self._state = _xs.stream64_init(seed)
 
     def update(self, buf, off: int = 0, length: int | None = None):
-        self._state.update(buf, off, length)
+        if length is None:
+            length = len(buf) - off
+        _check_range(buf, off, length)
+        self._state = self._xs.absorb_bytes64(
+            self._state, bytes(buf[off:off + length]))
 
     def get_value(self) -> int:
-        return _s64(self._state.get_value())
+        return _s64(self._xs.digest64(self._state))
 
     def reset(self) -> None:
-        self._state.reset()
+        self._state = self._xs.stream64_init(self.seed)

@@ -53,31 +53,53 @@ class BatchEngine:
         return f"BatchEngine({self.name})"
 
 
-def get_engine(name: str = "fastest") -> BatchEngine:
+def get_engine(name: str = "fastest", level: int = 0) -> BatchEngine:
     """Engines: 'native' (C++ threads), 'pallas' (device kernels),
     'segment' (host parse + device segment-executor decode),
-    'sharded' (device mesh), 'safe' (reference), 'fastest' (first working)."""
+    'sharded' (device mesh), 'safe' (reference), 'fastest' (first working).
+
+    ``level`` 0 builds the fast-scan compressor; 1..17 builds the engine's
+    own HC compressor at that level — every family exposes HC, matching
+    ``LZ4Factory.java:189-202``.
+    """
+    import functools
     if name == "fastest":
         for cand in ("native", "safe"):
             try:
-                return get_engine(cand)
+                return get_engine(cand, level)
             except Exception:
                 continue
         raise Lz4FrameError("no batch engine available")
+    suffix = f"-hc{level}" if level else ""
     if name == "native":
         from ..api import native_instances as ni
+        if level:
+            comp_packed = functools.partial(ni.compress_hc_packed, level=level)
+            hc = None
+
+            def comp(blocks):
+                nonlocal hc
+                if hc is None:
+                    from ..api.factory import Lz4Factory
+                    hc = Lz4Factory.native_instance().high_compressor(level)
+                return [hc.compress_alloc(b) for b in blocks]
+        else:
+            comp_packed = ni.compress_fast_packed
+            comp = ni.compress_fast_batch
         return BatchEngine(
-            "native",
-            ni.compress_fast_batch,
+            "native" + suffix,
+            comp,
             lambda blocks, out_max: ni.decompress_safe_batch(blocks, out_max),
-            compress_packed=ni.compress_fast_packed,
+            compress_packed=comp_packed,
             decompress_packed=ni.decompress_safe_packed)
     if name == "pallas":
         from ..api.factory import Lz4Factory
         f = Lz4Factory.pallas_instance()
+        comp = (f.high_compressor(level) if level
+                else f.fast_compressor()).compress_batch
         return BatchEngine(
-            "pallas",
-            f.fast_compressor().compress_batch,
+            "pallas" + suffix,
+            comp,
             f.safe_decompressor().decompress_batch)
     if name == "segment":
         # host parse (C++) + device segment-executor decode; compression
@@ -88,25 +110,29 @@ def get_engine(name: str = "fastest") -> BatchEngine:
         def decomp(blocks, out_max):
             return segment_decode.decompress_blocks(blocks, out_max)
 
-        return BatchEngine("segment", ni.compress_fast_batch, decomp)
+        comp = get_engine("native", level).compress_batch
+        return BatchEngine("segment" + suffix, comp, decomp)
     if name == "sharded":
         from ..dist import shard_compress_blocks, shard_decompress_blocks
+        comp = (functools.partial(shard_compress_blocks, level=level)
+                if level else shard_compress_blocks)
         return BatchEngine(
-            "sharded",
-            shard_compress_blocks,
+            "sharded" + suffix,
+            comp,
             shard_decompress_blocks)
     if name == "safe":
         from ..api.factory import Lz4Factory
         f = Lz4Factory.safe_instance()
+        c = f.high_compressor(level) if level else f.fast_compressor()
 
         def comp(blocks):
-            return [f.fast_compressor().compress_alloc(b) for b in blocks]
+            return [c.compress_alloc(b) for b in blocks]
 
         def decomp(blocks, out_max):
             return [f.safe_decompressor().decompress_alloc(b, 0, len(b), out_max)
                     for b in blocks]
 
-        return BatchEngine("safe", comp, decomp)
+        return BatchEngine("safe" + suffix, comp, decomp)
     raise ValueError(f"unknown engine {name!r}")
 
 
@@ -122,8 +148,10 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
     Returns the number of compressed bytes written.
     """
     if isinstance(engine, str):
-        engine = get_engine(engine)
-    if level > 0:
+        engine = get_engine(engine, level)   # engine-native HC at level 1..17
+    elif level > 0:
+        # a prebuilt engine instance: wrap its compress side with HC, staying
+        # in the same family where possible
         import functools
         from ..api.factory import Lz4Factory
         from ..native.build import NativeBuildError

@@ -78,3 +78,64 @@ def test_multihost_two_processes_byte_exact():
         features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM))
     assert frame == expect
     assert decompress_frame(frame) == data
+
+
+def test_sharded_hc_byte_parity(mesh, rng):
+    """HC through the mesh path (VERDICT #7): byte-equal to the host HC
+    tiers at levels 1/9/17 (LZ4Factory.java:189-202 exposes HC everywhere)."""
+    from lz4_tpu.core.lz4_hc_ref import compress_hc_alloc
+
+    blocks = [random_bytes(rng, rng.randrange(100, 900), 6) for _ in range(8)]
+    for level in (1, 9, 17):
+        comp = shard_compress_blocks(blocks, mesh, level=level)
+        assert comp == [bytes(compress_hc_alloc(b, level)) for b in blocks], level
+
+
+def test_sharded_hc_frame_byte_exact(mesh, rng):
+    """Sharded HC frame == host HC frame (single small block: jax_hc is a
+    latency path; block-level parity at scale is pinned above)."""
+    from lz4_tpu.formats.frame import (
+        compress_frame, BlockSize, FrameFlag)
+    from lz4_tpu.api.factory import Lz4Factory
+
+    data = random_bytes(rng, 3000, 5)
+    got = compress_frame_sharded(data, 1 << 16, mesh, level=9)
+    hc = Lz4Factory.safe_instance().high_compressor(9)
+    expect = compress_frame(
+        data, block_size=BlockSize.SIZE_64KB,
+        features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM),
+        compressor=hc)
+    assert got == expect
+
+
+def test_device_packed_frame_byte_exact(mesh, rng):
+    """VERDICT #4: on-device compaction of size words + payloads into one
+    contiguous buffer under the same jit as the compression, byte-exact vs
+    the host frame writer."""
+    from lz4_tpu.dist import compress_frame_sharded_packed
+    from lz4_tpu.formats.frame import (
+        compress_frame, BlockSize, FrameFlag)
+
+    for size in (1, 100, 65536, 65537, 250000):
+        data = random_bytes(rng, size, 16)
+        got = compress_frame_sharded_packed(data, 1 << 16, mesh)
+        expect = compress_frame(
+            data, block_size=BlockSize.SIZE_64KB,
+            features=(FrameFlag.BLOCK_INDEPENDENCE,
+                      FrameFlag.CONTENT_CHECKSUM))
+        assert got == expect, size
+        assert decompress_frame(got) == data
+
+
+def test_device_packed_frame_incompressible_blocks(mesh, rng):
+    """Raw-stored blocks (incompressible mask) through the device packer."""
+    from lz4_tpu.dist import compress_frame_sharded_packed
+
+    data = random_bytes(rng, 3 * 65536 + 77, 256)  # incompressible
+    got = compress_frame_sharded_packed(data, 1 << 16, mesh)
+    assert decompress_frame(got) == data
+    from lz4_tpu.formats.frame import compress_frame, BlockSize, FrameFlag
+    expect = compress_frame(
+        data, block_size=BlockSize.SIZE_64KB,
+        features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM))
+    assert got == expect

@@ -184,3 +184,30 @@ def test_lz4_pallas_compress_interpret(rng):
     for i, b in enumerate(blocks):
         got = out[i, :olens[i]].astype(np.uint8).tobytes()
         assert got == compress_fast_alloc(b), i
+
+
+def test_pallas_tier_batch_apis_route_to_mosaic(monkeypatch, rng):
+    """VERDICT #5: the factory 'pallas' tier batch APIs run the Mosaic
+    kernels (interpret mode stands in for hardware here), byte-identical."""
+    monkeypatch.setenv("TPULZ4_PALLAS_INTERPRET", "1")
+    from lz4_tpu.api import pallas_instances as pi
+    assert pi._mosaic_mode() == "interpret"
+
+    blocks = [random_bytes(rng, n, a) for a, n in
+              [(4, 800), (256, 200), (8, 64)]]
+    comp = pi.FastCompressor().compress_batch(blocks)
+    assert comp == [compress_fast_alloc(b) for b in blocks]
+    out = pi.SafeDecompressor().decompress_batch(comp, 1024)
+    assert out == blocks
+
+    data = np.frombuffer(random_bytes(rng, 4 * 64, 256), np.uint8).reshape(4, 64)
+    lens = np.full((4,), 64, np.int32)
+    got = np.asarray(pi.XXH32().hash_batch(data, lens, 3))
+    expect = [xxh32(data[i].tobytes(), 0, 64, 3) for i in range(4)]
+    assert got.tolist() == expect
+
+    # ragged batches fall back to the general pure-JAX kernel
+    lens2 = np.array([64, 63, 64, 1], np.int32)
+    got2 = np.asarray(pi.XXH32().hash_batch(data, lens2, 3))
+    expect2 = [xxh32(data[i].tobytes(), 0, int(lens2[i]), 3) for i in range(4)]
+    assert got2.tolist() == expect2
