@@ -223,3 +223,43 @@ def test_stream_pipeline_interop(corpus):
     out = io.BytesIO()
     pipeline.decompress_stream(io.BytesIO(fr), out, engine="fastest")
     assert out.getvalue() == corpus
+
+
+def _sweep_sizes(seed=0x5EED):
+    """The reference frame tests are @Parameterized over
+    {0, 1, 1KB+-1, 64KB, 128KB, 1MB, 10x random < 4MB}
+    (LZ4FrameIOStreamTest.java:74-90)."""
+    rng = random.Random(seed)
+    fixed = [0, 1, 1023, 1024, 1025, 64 << 10, 128 << 10, 1 << 20]
+    return fixed + [rng.randrange(1 << 22) for _ in range(10)]
+
+
+def _sweep_data(size, seed):
+    rng = random.Random(seed)
+    # compressible alphabet with occasional runs, like the reference's
+    # randomByteArray-with-alphabet corpus dial
+    out = bytearray()
+    while len(out) < size:
+        if rng.random() < 0.2:
+            out += bytes([rng.randrange(16)]) * rng.randrange(4, 600)
+        else:
+            out += bytes(rng.randrange(16) for _ in range(rng.randrange(1, 500)))
+    return bytes(out[:size])
+
+
+def test_frame_size_sweep_upstream_decodes_ours():
+    for i, size in enumerate(_sweep_sizes()):
+        data = _sweep_data(size, i)
+        for bs in (BlockSize.SIZE_64KB, BlockSize.SIZE_4MB):
+            fr = frame.compress_frame(
+                data, block_size=bs,
+                features=(FrameFlag.BLOCK_INDEPENDENCE,
+                          FrameFlag.CONTENT_CHECKSUM))
+            assert _ref_frame_decompress(fr, len(data)) == data, (size, bs)
+
+
+def test_frame_size_sweep_we_decode_upstream():
+    for i, size in enumerate(_sweep_sizes(0xCAFE)):
+        data = _sweep_data(size, 100 + i)
+        fr = _ref_frame_compress(data)
+        assert frame.decompress_frame(fr) == data, size

@@ -153,3 +153,40 @@ def test_as_checksum_adapter_quirk():
         c.update(ord("h"))
         c.update(b"xello worldx", 1, 10)
         assert c.get_value() == v
+
+
+@pytest.mark.slow
+def test_streaming_hash_4gib_total_len_boundary():
+    """Cross the 2^32 total_len fold (XXHash32Test.java:144-166 hashes >8GB
+    continuously): 65 x 64MiB updates (4.0625 GiB) through the native
+    streaming state must equal the native one-shot over the same bytes
+    (tpulz4_xxh32 takes an int64 length) for both xxh32 and xxh64."""
+    np = pytest.importorskip("numpy")
+    try:
+        from lz4_tpu.api.factory import XXHashFactory
+        xf = XXHashFactory.native_instance()
+    except Exception:
+        pytest.skip("native tier unavailable")
+
+    chunk_mib = 64
+    n_chunks = 65                         # 65 * 64 MiB = 4.0625 GiB > 2^32
+    chunk_len = chunk_mib << 20
+    total = n_chunks * chunk_len
+    assert total > (1 << 32)
+
+    rng = np.random.default_rng(0xFEED)
+    base = rng.integers(0, 256, chunk_len, dtype=np.uint8)
+    big = np.empty(total, np.uint8)
+    s32 = xf.new_streaming_hash32(0)
+    s64 = xf.new_streaming_hash64(0)
+    for i in range(n_chunks):
+        piece = base ^ np.uint8(i & 0xFF)  # distinct content per chunk
+        big[i * chunk_len:(i + 1) * chunk_len] = piece
+        mv = memoryview(big)[i * chunk_len:(i + 1) * chunk_len]
+        s32.update(mv, 0, chunk_len)
+        s64.update(mv, 0, chunk_len)
+
+    one32 = xf.hash32().hash(big, 0, total, 0)
+    one64 = xf.hash64().hash(big, 0, total, 0)
+    assert s32.get_value() == one32
+    assert s64.get_value() == one64
