@@ -943,6 +943,39 @@ inline uint64_t tail64(uint64_t h, const uint8_t* p, const uint8_t* end) {
   return avalanche64(h);
 }
 
+// The 4-lane stripe recurrence must stay FOUR INDEPENDENT SCALAR chains:
+// with the lanes adjacent in memory GCC auto-vectorizes them into a single
+// xmm dependency chain (two vpmulld per stripe, latency ~10 each on this
+// Xeon class), which measures ~1.5x SLOWER than the pipelined scalar form
+// (3.7 vs 5.6 GB/s). noinline keeps the caller's vectorizer away too.
+__attribute__((noinline, optimize("no-tree-vectorize")))
+static const uint8_t* stripes32(uint32_t v[4], const uint8_t* p,
+                                const uint8_t* limit) {
+  uint32_t v1 = v[0], v2 = v[1], v3 = v[2], v4 = v[3];
+  do {
+    v1 = round32(v1, read32(p)); p += 4;
+    v2 = round32(v2, read32(p)); p += 4;
+    v3 = round32(v3, read32(p)); p += 4;
+    v4 = round32(v4, read32(p)); p += 4;
+  } while (p <= limit);
+  v[0] = v1; v[1] = v2; v[2] = v3; v[3] = v4;
+  return p;
+}
+
+__attribute__((noinline, optimize("no-tree-vectorize")))
+static const uint8_t* stripes64(uint64_t v[4], const uint8_t* p,
+                                const uint8_t* limit) {
+  uint64_t v1 = v[0], v2 = v[1], v3 = v[2], v4 = v[3];
+  do {
+    v1 = round64(v1, read64(p)); p += 8;
+    v2 = round64(v2, read64(p)); p += 8;
+    v3 = round64(v3, read64(p)); p += 8;
+    v4 = round64(v4, read64(p)); p += 8;
+  } while (p <= limit);
+  v[0] = v1; v[1] = v2; v[2] = v3; v[3] = v4;
+  return p;
+}
+
 }  // namespace xx
 
 TPULZ4_API uint32_t tpulz4_xxh32(const uint8_t* buf, int64_t len, uint32_t seed) {
@@ -951,15 +984,9 @@ TPULZ4_API uint32_t tpulz4_xxh32(const uint8_t* buf, int64_t len, uint32_t seed)
   const uint8_t* end = buf + len;
   uint32_t h;
   if (len >= 16) {
-    uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
-    const uint8_t* limit = end - 16;
-    do {
-      v1 = round32(v1, read32(p)); p += 4;
-      v2 = round32(v2, read32(p)); p += 4;
-      v3 = round32(v3, read32(p)); p += 4;
-      v4 = round32(v4, read32(p)); p += 4;
-    } while (p <= limit);
-    h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+    uint32_t v[4] = {seed + P1 + P2, seed + P2, seed, seed - P1};
+    p = stripes32(v, p, end - 16);
+    h = rotl32(v[0], 1) + rotl32(v[1], 7) + rotl32(v[2], 12) + rotl32(v[3], 18);
   } else {
     h = seed + P5;
   }
@@ -973,19 +1000,13 @@ TPULZ4_API uint64_t tpulz4_xxh64(const uint8_t* buf, int64_t len, uint64_t seed)
   const uint8_t* end = buf + len;
   uint64_t h;
   if (len >= 32) {
-    uint64_t v1 = seed + Q1 + Q2, v2 = seed + Q2, v3 = seed, v4 = seed - Q1;
-    const uint8_t* limit = end - 32;
-    do {
-      v1 = round64(v1, read64(p)); p += 8;
-      v2 = round64(v2, read64(p)); p += 8;
-      v3 = round64(v3, read64(p)); p += 8;
-      v4 = round64(v4, read64(p)); p += 8;
-    } while (p <= limit);
-    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
-    h ^= round64(0, v1); h = h * Q1 + Q4;
-    h ^= round64(0, v2); h = h * Q1 + Q4;
-    h ^= round64(0, v3); h = h * Q1 + Q4;
-    h ^= round64(0, v4); h = h * Q1 + Q4;
+    uint64_t v[4] = {seed + Q1 + Q2, seed + Q2, seed, seed - Q1};
+    p = stripes64(v, p, end - 32);
+    h = rotl64(v[0], 1) + rotl64(v[1], 7) + rotl64(v[2], 12) + rotl64(v[3], 18);
+    h ^= round64(0, v[0]); h = h * Q1 + Q4;
+    h ^= round64(0, v[1]); h = h * Q1 + Q4;
+    h ^= round64(0, v[2]); h = h * Q1 + Q4;
+    h ^= round64(0, v[3]); h = h * Q1 + Q4;
   } else {
     h = seed + Q5;
   }
@@ -1053,15 +1074,9 @@ TPULZ4_API void tpulz4_xxh32_update(void* handle, const uint8_t* buf, int64_t le
     st->mem_size = 0;
   }
   if (p + 16 <= end) {
-    uint32_t v1 = st->v1, v2 = st->v2, v3 = st->v3, v4 = st->v4;
-    const uint8_t* limit = end - 16;
-    do {
-      v1 = round32(v1, read32(p)); p += 4;
-      v2 = round32(v2, read32(p)); p += 4;
-      v3 = round32(v3, read32(p)); p += 4;
-      v4 = round32(v4, read32(p)); p += 4;
-    } while (p <= limit);
-    st->v1 = v1; st->v2 = v2; st->v3 = v3; st->v4 = v4;
+    uint32_t v[4] = {st->v1, st->v2, st->v3, st->v4};
+    p = stripes32(v, p, end - 16);
+    st->v1 = v[0]; st->v2 = v[1]; st->v3 = v[2]; st->v4 = v[3];
   }
   if (p < end) {
     std::memcpy(st->memory, p, end - p);
@@ -1126,15 +1141,9 @@ TPULZ4_API void tpulz4_xxh64_update(void* handle, const uint8_t* buf, int64_t le
     st->mem_size = 0;
   }
   if (p + 32 <= end) {
-    uint64_t v1 = st->v1, v2 = st->v2, v3 = st->v3, v4 = st->v4;
-    const uint8_t* limit = end - 32;
-    do {
-      v1 = round64(v1, read64(p)); p += 8;
-      v2 = round64(v2, read64(p)); p += 8;
-      v3 = round64(v3, read64(p)); p += 8;
-      v4 = round64(v4, read64(p)); p += 8;
-    } while (p <= limit);
-    st->v1 = v1; st->v2 = v2; st->v3 = v3; st->v4 = v4;
+    uint64_t v[4] = {st->v1, st->v2, st->v3, st->v4};
+    p = stripes64(v, p, end - 32);
+    st->v1 = v[0]; st->v2 = v[1]; st->v3 = v[2]; st->v4 = v[3];
   }
   if (p < end) {
     std::memcpy(st->memory, p, end - p);
@@ -1460,6 +1469,35 @@ void parallel_for(int n, int n_threads, F f) {
   for (auto& th : ts) th.join();
 }
 
+// Work-stealing variant for bodies that also feed a serial in-order
+// frontier (content hash / ordered emission): indices come from a shared
+// counter so per-block cost imbalance (some threads also advance the
+// frontier) self-balances, and each thread runs `finish()` before exiting
+// so threads that run out of blocks keep draining the frontier instead of
+// leaving all residual serial work to the last one.
+template <typename F, typename G>
+void parallel_for_dynamic(int n, int n_threads, F f, G finish) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int i = 0; i < n; ++i) f(i);
+    finish();
+    return;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) break;
+      f(i);
+    }
+    finish();
+  };
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& th : ts) th.join();
+}
+
 }  // namespace frame
 
 TPULZ4_API int64_t tpulz4_frame_compress_bound(int64_t raw_len,
@@ -1560,7 +1598,7 @@ TPULZ4_API int64_t tpulz4_frame_compress(
     emit_busy.clear(std::memory_order_release);
   };
 
-  frame::parallel_for(n, n_threads, [&](int i) {
+  frame::parallel_for_dynamic(n, n_threads, [&](int i) {
     int64_t off = (int64_t)i * bs;
     int len = (int)(raw_len - off < bs ? raw_len - off : bs);
     uint8_t* out = scratch.get() + (size_t)i * cap;
@@ -1578,6 +1616,13 @@ TPULZ4_API int64_t tpulz4_frame_compress(
     }
     done[i].store(1, std::memory_order_release);
     if (!had_error.load(std::memory_order_relaxed)) advance_emit();
+  }, [&] {
+    // out of blocks: keep draining the emit/hash frontier cooperatively
+    while (!had_error.load(std::memory_order_relaxed) &&
+           emit_next.load(std::memory_order_acquire) < n) {
+      advance_emit();
+      std::this_thread::yield();
+    }
   });
   if (had_error.load(std::memory_order_relaxed)) {
     if (hstate) tpulz4_xxh32_free(hstate);
@@ -1717,7 +1762,7 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
       hash_next.store(j, std::memory_order_relaxed);
       hash_busy.clear(std::memory_order_release);
     };
-    frame::parallel_for(n, n_threads, [&](int i) {
+    frame::parallel_for_dynamic(n, n_threads, [&](int i) {
       // stride-bs layout; every block clamps to the remaining capacity, so
       // an undersized dest surfaces as E_DEST_TOO_SMALL from the block
       int64_t out_off = frame_dest + (int64_t)i * bs;
@@ -1739,6 +1784,13 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
         if (errs[i] < 0) had_error.store(true, std::memory_order_relaxed);
         done[i].store(errs[i] < 0 ? 2 : 1, std::memory_order_release);
         if (!had_error.load(std::memory_order_relaxed)) advance_hash();
+      }
+    }, [&] {
+      if (!inband_hash) return;
+      while (!had_error.load(std::memory_order_relaxed) &&
+             hash_next.load(std::memory_order_acquire) < n) {
+        advance_hash();
+        std::this_thread::yield();
       }
     });
     uint32_t content_hash = 0;
@@ -1918,7 +1970,7 @@ TPULZ4_API int64_t tpulz4_blockstream_compress(
     emit_busy.clear(std::memory_order_release);
   };
 
-  frame::parallel_for(n, n_threads, [&](int i) {
+  frame::parallel_for_dynamic(n, n_threads, [&](int i) {
     int64_t off = (int64_t)i * block_size;
     int len = (int)(raw_len - off < block_size ? raw_len - off : block_size);
     checks[i] = tpulz4_xxh32(raw + off, len, SEED) & 0xFFFFFFFu;
@@ -1931,6 +1983,12 @@ TPULZ4_API int64_t tpulz4_blockstream_compress(
     }
     done[i].store(1, std::memory_order_release);
     if (!had_error.load(std::memory_order_relaxed)) advance_emit();
+  }, [&] {
+    while (!had_error.load(std::memory_order_relaxed) &&
+           emit_next.load(std::memory_order_acquire) < n) {
+      advance_emit();
+      std::this_thread::yield();
+    }
   });
   if (had_error.load(std::memory_order_relaxed))
     for (int i = 0; i < n; ++i)
