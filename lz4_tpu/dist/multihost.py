@@ -51,8 +51,12 @@ def process_block_range(n_blocks: int) -> tuple[int, int]:
     return start, min(start + per, n_blocks)
 
 
-def compress_blocks_multihost(blocks: list[bytes], mesh=None) -> list[bytes] | None:
+def compress_blocks_multihost(blocks: list[bytes], mesh=None,
+                              level: int | None = None) -> list[bytes] | None:
     """Compress ``blocks`` cooperatively across all hosts.
+
+    ``level=None`` runs fast-scan; 1..17 runs HC at that level (every
+    family exposes HC, LZ4Factory.java:189-202).
 
     Every process passes the FULL global block list (cheap: inputs usually
     come from a shared filesystem); each compresses only its owned range on
@@ -70,7 +74,8 @@ def compress_blocks_multihost(blocks: list[bytes], mesh=None) -> list[bytes] | N
         mesh = local_block_mesh()
 
     start, end = process_block_range(len(blocks))
-    local = shard_compress_blocks(blocks[start:end], mesh) if end > start else []
+    local = (shard_compress_blocks(blocks[start:end], mesh, level)
+             if end > start else [])
 
     if jax.process_count() == 1:
         return local
@@ -107,7 +112,8 @@ def compress_blocks_multihost(blocks: list[bytes], mesh=None) -> list[bytes] | N
 
 
 def compress_frame_multihost(data: bytes, block_size: int = 1 << 16,
-                             mesh=None, content_checksum: bool = True) -> bytes:
+                             mesh=None, content_checksum: bool = True,
+                             level: int | None = None) -> bytes:
     """Compress ``data`` into one byte-exact LZ4 frame cooperatively across
     all hosts: every process compresses its owned block range on its local
     chips, the per-block payloads are allgathered over DCN in global block
@@ -115,7 +121,8 @@ def compress_frame_multihost(data: bytes, block_size: int = 1 << 16,
     from .sharded import assemble_frame, split_frame_blocks
 
     blocks = split_frame_blocks(data, block_size)
-    compressed = compress_blocks_multihost(blocks, mesh) if blocks else []
+    compressed = (compress_blocks_multihost(blocks, mesh, level)
+                  if blocks else [])
     return assemble_frame(data, blocks, compressed, block_size,
                           content_checksum)
 
@@ -133,17 +140,19 @@ import numpy as np
 rng = np.random.default_rng(7)
 data = rng.integers(0, 5, 3 * 65536 + 1234, dtype=np.uint8).tobytes()
 frame = multihost.compress_frame_multihost(data, 1 << 16)
+hc_frame = multihost.compress_frame_multihost(data[:3000], 1 << 16, level=9)
 with open(out_path, "wb") as f:
-    f.write(frame)
+    f.write(len(frame).to_bytes(8, "little") + frame + hc_frame)
 """
 
 
-def dryrun_multihost(port: int = 12377, timeout: float = 300.0) -> bytes:
+def dryrun_multihost(port: int = 12377, timeout: float = 300.0):
     """Validate the real multi-process DCN path: spawn two local processes
     on the CPU backend, run ``compress_frame_multihost`` end-to-end through
-    the allgather exchange, and require both processes to produce the same
-    byte-exact frame. Returns that frame (caller may verify against the
-    host writer).
+    the allgather exchange (fast-scan on the full input, HC9 on a small
+    slice), and require both processes to produce the same byte-exact
+    frames. Returns ``(frame, hc_frame)`` for verification against the
+    host writers.
     """
     import os
     import pathlib
@@ -170,4 +179,5 @@ def dryrun_multihost(port: int = 12377, timeout: float = 300.0) -> bytes:
         frames = [pathlib.Path(o).read_bytes() for o in outs]
         if frames[0] != frames[1]:
             raise RuntimeError("multihost frames differ between processes")
-        return frames[0]
+        n = int.from_bytes(frames[0][:8], "little")
+        return frames[0][8:8 + n], frames[0][8 + n:]

@@ -66,10 +66,11 @@ def test_multihost_two_processes_byte_exact():
     allgather exchange in compress_blocks_multihost must produce, on both
     processes, the byte-exact frame the host one-shot writer produces
     (XXHash/LZ4 device codecs are byte-identical by construction)."""
+    from lz4_tpu.api.factory import Lz4Factory
     from lz4_tpu.dist.multihost import dryrun_multihost
     from lz4_tpu.formats.frame import compress_frame, FrameFlag, BlockSize
 
-    frame = dryrun_multihost(port=12391)
+    frame, hc_frame = dryrun_multihost(port=12391)
 
     rng_np = np.random.default_rng(7)
     data = rng_np.integers(0, 5, 3 * 65536 + 1234, dtype=np.uint8).tobytes()
@@ -78,6 +79,12 @@ def test_multihost_two_processes_byte_exact():
         features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM))
     assert frame == expect
     assert decompress_frame(frame) == data
+    # HC through the multihost path, byte-exact vs the host HC writer
+    expect_hc = compress_frame(
+        data[:3000], block_size=BlockSize.SIZE_64KB,
+        features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM),
+        compressor=Lz4Factory.safe_instance().high_compressor(9))
+    assert hc_frame == expect_hc
 
 
 def test_sharded_hc_byte_parity(mesh, rng):
