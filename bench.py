@@ -329,10 +329,32 @@ def bench_scaling_surrogate():
         data = json.loads(res.stdout.strip().splitlines()[-1])
         return {"sharded_step_times_s": data["times_s"],
                 "shard_parallel_efficiency": data["shard_parallel_efficiency"],
+                "scaling_executor_control_efficiency":
+                    data["control_efficiency"],
+                "scaling_calibrated_efficiency":
+                    data["calibrated_efficiency"],
                 "scaling_efficiency_headline": data["headline_efficiency"],
+                "scaling_calibrated_headline":
+                    data["headline_calibrated_efficiency"],
                 "scaling_headline_width": data["headline_width"]}
     except Exception as e:  # never break the bench line
         return {"sharded_step_times_s": f"unavailable: {type(e).__name__}"}
+
+
+def bench_multihost_scaling():
+    """True process-parallel scaling through the DCN path (2 local worker
+    processes, each pinned to its own core, real jax.distributed group +
+    allgather exchange) — the honest proxy for the >=80% multi-host target;
+    see dist/multihost_scaling.py."""
+    try:
+        from lz4_tpu.dist import multihost_scaling
+        data = multihost_scaling.measure()
+        return {"multihost_efficiency_2proc": data["multihost_efficiency"],
+                "multihost_times_s": {"2proc": data["t_multi_s"],
+                                      "1proc_ref": data["t_ref_s"]}}
+    except Exception as e:  # never break the bench line
+        return {"multihost_efficiency_2proc":
+                f"unavailable: {type(e).__name__}"}
 
 
 def main():
@@ -347,6 +369,7 @@ def main():
     except Exception as e:
         formats = {"formats": f"unavailable: {type(e).__name__}: {e}"}
     scaling = bench_scaling_surrogate()
+    multihost = bench_multihost_scaling()
     tpu_seg = bench_tpu_segment_decode(corpus)
     tpu_hash = bench_tpu_xxh32()
     tpu_hash64 = bench_tpu_xxh64()
@@ -368,6 +391,7 @@ def main():
             "ratio_vs_reference": 1.0,  # byte-identical output by construction
             **formats,
             **scaling,
+            **multihost,
             "tpu_segment_decode_gbps": (round(tpu_seg, 4)
                                         if isinstance(tpu_seg, float)
                                         else tpu_seg),

@@ -87,6 +87,31 @@ def test_multihost_two_processes_byte_exact():
     assert hc_frame == expect_hc
 
 
+def test_multihost_scaling_measures():
+    """The 2-process DCN scaling proxy runs end-to-end and produces a sane
+    efficiency (processes pinned to distinct cores, real allgather). Kept
+    tiny — the bench runs the full-size measurement."""
+    from lz4_tpu.dist import multihost_scaling
+
+    out = multihost_scaling.measure(total_blocks=4, block_len=512,
+                                    port=12491)
+    assert out["processes"] == 2
+    assert 0.1 < out["multihost_efficiency"] < 3.0
+    assert out["t_multi_s"] > 0 and out["t_ref_s"] > 0
+
+
+def test_scaling_control_calibration():
+    """The executor-control calibration fields are present and positive."""
+    from lz4_tpu.dist import scaling
+
+    out = scaling.measure(total_blocks=8, block_len=512, widths=(1, 2),
+                          trials=2)
+    assert set(out["control_efficiency"]) == {"1", "2"}
+    assert all(v > 0 for v in out["control_efficiency"].values())
+    assert all(v > 0 for v in out["calibrated_efficiency"].values())
+    assert out["headline_calibrated_efficiency"] > 0
+
+
 def test_sharded_hc_byte_parity(mesh, rng):
     """HC through the mesh path (VERDICT #7): byte-equal to the host HC
     tiers at levels 1/9/17 (LZ4Factory.java:189-202 exposes HC everywhere)."""
