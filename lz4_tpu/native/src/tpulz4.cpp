@@ -1456,20 +1456,7 @@ class ScratchLease {
   bool leased_;
 };
 
-template <typename F>
-void parallel_for(int n, int n_threads, F f) {
-  if (n_threads <= 1 || n <= 1) {
-    for (int i = 0; i < n; ++i) f(i);
-    return;
-  }
-  std::vector<std::thread> ts;
-  ts.reserve(n_threads);
-  for (int t = 0; t < n_threads; ++t)
-    ts.emplace_back([&, t] { for (int i = t; i < n; i += n_threads) f(i); });
-  for (auto& th : ts) th.join();
-}
-
-// Work-stealing variant for bodies that also feed a serial in-order
+// Work-stealing loop for bodies that also feed a serial in-order
 // frontier (content hash / ordered emission): indices come from a shared
 // counter so per-block cost imbalance (some threads also advance the
 // frontier) self-balances, and each thread runs `finish()` before exiting
@@ -2045,7 +2032,10 @@ TPULZ4_API int64_t tpulz4_blockstream_decompress(
   }
 
   std::vector<int32_t> errs(blocks.size(), 0);
-  frame::parallel_for((int)blocks.size(), n_threads, [&](int i) {
+  // dynamic scheduling: per-block decode cost varies with content, and the
+  // shared counter keeps both cores busy to the end (the static strided
+  // split left the tail imbalance to one thread)
+  frame::parallel_for_dynamic((int)blocks.size(), n_threads, [&](int i) {
     const Blk& b = blocks[i];
     if (b.raw) {
       std::memcpy(dest + b.dst_off, src + b.src_off, b.olen);
@@ -2056,7 +2046,7 @@ TPULZ4_API int64_t tpulz4_blockstream_decompress(
     }
     if ((tpulz4_xxh32(dest + b.dst_off, b.olen, SEED) & 0xFFFFFFFu) != b.check)
       errs[i] = TPULZ4_E_CHECKSUM;
-  });
+  }, [] {});
   for (int32_t e : errs)
     if (e < 0) return e;
   if (consumed_out) *consumed_out = s;
