@@ -1,8 +1,8 @@
-"""Gather-decode: high-throughput TPU LZ4 decompression as batched gathers.
+"""Gather-decode: LZ4 decompression re-expressed as batched gathers.
 
 The serial token scan is the only part of LZ4 decoding that resists
-vectorization — the byte movement itself is expressible as gathers, which
-this chip executes at ~20 Gelem/s. So the pipeline splits:
+vectorization — the byte movement itself is expressible as gathers. The
+pipeline splits:
 
 1. **Host parse** (C++ ``tpulz4_parse_sequences``): walk the token stream
    without copying, emitting per-sequence records (absolute literal
@@ -19,10 +19,19 @@ this chip executes at ~20 Gelem/s. So the pipeline splits:
 
 This is the encode-time/absolute-offset-resolution idea (cf. ACEAPEX,
 PAPERS.md) executed at decode time with the resolution on device. Unlike
-the sequential decoders it scales with both batch size and gather
-bandwidth. Bit-exactness is asserted against the reference oracle,
-including the null-match-offset quirk (uncovered bytes decode as zeros,
-matching fresh-buffer serial decoders).
+the sequential decoders it scales with batch size and gather bandwidth.
+Bit-exactness is asserted against the reference oracle, including the
+null-match-offset quirk (uncovered bytes decode as zeros, matching
+fresh-buffer serial decoders).
+
+**Measured ceiling (TPU v5e, see docs/ROADMAP.md §1):** XLA's 1-D gather on
+this chip executes at ~0.11 Gelem/s when actually forced to run (chained
+in-graph loop; single-dispatch timings sit at the ~0.1 ms dispatch floor
+and report fantasy rates). At ~one gather per output byte minimum, ANY
+gather-based decode formulation therefore caps near 0.1 GB/s — far below
+the host tier — so this module's value is algorithmic validation (the
+pointer-doubling resolution is exercised by tests on the CPU backend),
+not device throughput.
 """
 
 from __future__ import annotations
