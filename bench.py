@@ -49,7 +49,7 @@ def bench_native(corpus: bytes):
     comp, offs, lens = ni.compress_fast_packed(corpus, BLOCK)  # warm
     cbuf = bytearray(len(comp))
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.time()
         comp, offs, lens = ni.compress_fast_packed(corpus, BLOCK, dest=cbuf)
         times.append(time.time() - t0)
@@ -58,7 +58,7 @@ def bench_native(corpus: bytes):
     dec, dlens = ni.decompress_safe_packed(comp, offs, lens, BLOCK)  # warm
     dbuf = bytearray(len(dec))
     times = []
-    for _ in range(5):
+    for _ in range(9):  # this host's shared vCPUs are ~±15% noisy run-to-run
         t0 = time.time()
         dec, dlens = ni.decompress_safe_packed(comp, offs, lens, BLOCK,
                                                dest=dbuf)
@@ -167,6 +167,25 @@ def bench_native_formats(corpus: bytes):
     out["blockstream_decompress_gbps"] = round(len(data) / min(times) / 1e9,
                                                3)
 
+    # BASELINE config #2: full-file frame at 4MB blocks (block_size_id 7)
+    big = corpus[:48 << 20]
+    fr4 = ni.compress_frame_packed(big, 7, ni.F_CONTENT_CHECKSUM)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fr4 = ni.compress_frame_packed(big, 7, ni.F_CONTENT_CHECKSUM)
+        times.append(time.time() - t0)
+    out["frame4mb_compress_gbps"] = round(len(big) / min(times) / 1e9, 3)
+    out["frame4mb_ratio"] = round(len(fr4) / len(big), 4)
+    big_buf = bytearray(len(big))
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        dec, _ = ni.decompress_frame_packed(fr4, dest=big_buf)
+        times.append(time.time() - t0)
+    assert bytes(dec) == big
+    out["frame4mb_decompress_gbps"] = round(len(big) / min(times) / 1e9, 3)
+
     hc_data = corpus[:4 << 20]  # HC is ~10x slower (README.md:14)
     comp, offs, lens = ni.compress_hc_packed(hc_data, BLOCK, level=9)  # warm
     times = []
@@ -205,6 +224,8 @@ def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
     out["hc9_ratio_vs_reference"] = 1.0  # asserted byte-identical above
 
     try:
+        import time
+
         lib = ctypes.CDLL("liblz4.so.1")
         sample = data[:1 << 20]
         lib.LZ4_compressBound.restype = ctypes.c_int
@@ -217,6 +238,16 @@ def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
         n = lib.LZ4_compress_HC(sample, buf, len(sample), bound, level)
         out["hc9_bytes_vs_liblz4_hc9"] = round(
             len(hc.compress_alloc(sample)) / n, 4)
+        # paired interleaved A/B speed comparison, single core both sides
+        t_lib = t_ours = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            lib.LZ4_compress_HC(sample, buf, len(sample), bound, level)
+            t_lib += time.time() - t0
+            t0 = time.time()
+            hc.compress_alloc(sample)
+            t_ours += time.time() - t0
+        out["hc9_speed_vs_liblz4_hc9"] = round(t_lib / t_ours, 3)
     except OSError:
         pass
     return out
