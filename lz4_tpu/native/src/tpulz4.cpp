@@ -1175,65 +1175,71 @@ TPULZ4_API void tpulz4_xxh64_free(void* handle) { delete (XXH64State*)handle; }
 // blocks, the same block-parallel decomposition the TPU tier uses)
 // ---------------------------------------------------------------------------
 
+// Work-stealing loop shared by every batched/container entry point: indices
+// come from a shared counter so per-block cost imbalance (content-dependent
+// codec time, threads that also advance a serial in-order frontier)
+// self-balances, the calling thread participates, and each thread runs
+// `finish()` before exiting so threads that run out of blocks keep draining
+// any residual serial frontier instead of leaving it to the last one.
+template <typename F, typename G>
+static void parallel_for_dynamic(int n, int n_threads, F f, G finish) {
+  if (n_threads <= 1 || n <= 1) {
+    for (int i = 0; i < n; ++i) f(i);
+    finish();
+    return;
+  }
+  std::atomic<int> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) break;
+      f(i);
+    }
+    finish();
+  };
+  std::vector<std::thread> ts;
+  ts.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+  worker();
+  for (auto& th : ts) th.join();
+}
+
+template <typename F>
+static void parallel_for_dynamic(int n, int n_threads, F f) {
+  parallel_for_dynamic(n, n_threads, f, [] {});
+}
+
 TPULZ4_API void tpulz4_compress_fast_batch(
     const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
     uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
     int32_t* out_lens, int32_t n_blocks, int32_t n_threads) {
-  auto work = [&](int t) {
-    for (int i = t; i < n_blocks; i += n_threads) {
-      out_lens[i] = tpulz4_compress_fast(src + src_offsets[i], src_lens[i],
-                                         dest + dest_offsets[i], max_dest_len_each);
-    }
-  };
-  if (n_threads <= 1) {
-    work(0);
-    return;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(n_threads);
-  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
-  for (auto& th : threads) th.join();
+  parallel_for_dynamic(n_blocks, n_threads, [&](int i) {
+    out_lens[i] = tpulz4_compress_fast(src + src_offsets[i], src_lens[i],
+                                       dest + dest_offsets[i],
+                                       max_dest_len_each);
+  });
 }
 
 TPULZ4_API void tpulz4_compress_hc_batch(
     const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
     uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
     int32_t* out_lens, int32_t n_blocks, int32_t n_threads, int32_t level) {
-  auto work = [&](int t) {
-    for (int i = t; i < n_blocks; i += n_threads) {
-      out_lens[i] = tpulz4_compress_hc(src + src_offsets[i], src_lens[i],
-                                       dest + dest_offsets[i],
-                                       max_dest_len_each, level);
-    }
-  };
-  if (n_threads <= 1) {
-    work(0);
-    return;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(n_threads);
-  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
-  for (auto& th : threads) th.join();
+  parallel_for_dynamic(n_blocks, n_threads, [&](int i) {
+    out_lens[i] = tpulz4_compress_hc(src + src_offsets[i], src_lens[i],
+                                     dest + dest_offsets[i],
+                                     max_dest_len_each, level);
+  });
 }
 
 TPULZ4_API void tpulz4_decompress_safe_batch(
     const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
     uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
     int32_t* out_lens, int32_t n_blocks, int32_t n_threads) {
-  auto work = [&](int t) {
-    for (int i = t; i < n_blocks; i += n_threads) {
-      out_lens[i] = tpulz4_decompress_safe(src + src_offsets[i], src_lens[i],
-                                           dest + dest_offsets[i], max_dest_len_each);
-    }
-  };
-  if (n_threads <= 1) {
-    work(0);
-    return;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(n_threads);
-  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
-  for (auto& th : threads) th.join();
+  parallel_for_dynamic(n_blocks, n_threads, [&](int i) {
+    out_lens[i] = tpulz4_decompress_safe(src + src_offsets[i], src_lens[i],
+                                         dest + dest_offsets[i],
+                                         max_dest_len_each);
+  });
 }
 
 
@@ -1339,43 +1345,33 @@ TPULZ4_API void tpulz4_parse_sequences_batch(
     int32_t* m_out, int32_t* m_dist, int32_t* m_len,
     int32_t* n_seq_out, int32_t* total_out,
     int32_t n_blocks, int32_t n_threads, int32_t tail_mode) {
-  auto work = [&](int t) {
-    for (int i = t; i < n_blocks; i += n_threads) {
-      int64_t row = (int64_t)i * max_seq;
-      int32_t total = 0;
-      int r = tpulz4_parse_sequences(
-          src + src_offsets[i], src_lens[i], max_seq,
-          lit_out + row, lit_src + row, lit_len + row,
-          m_out + row, m_dist + row, m_len + row, &total);
-      n_seq_out[i] = r;
-      total_out[i] = total;
-      if (r >= 0 && tail_mode > 0) {
-        size_t tail = (size_t)(max_seq - r) * sizeof(int32_t);
-        std::memset(lit_len + row + r, 0, tail);
-        std::memset(m_len + row + r, 0, tail);
-        std::memset(lit_src + row + r, 0, tail);
-        std::memset(m_dist + row + r, 0, tail);
-        if (tail_mode > 1) {
-          constexpr int32_t kSentinel = 1 << 30;
-          for (int j = r; j < max_seq; ++j) {
-            lit_out[row + j] = kSentinel;
-            m_out[row + j] = kSentinel;
-          }
-        } else {
-          std::memset(lit_out + row + r, 0, tail);
-          std::memset(m_out + row + r, 0, tail);
+  parallel_for_dynamic(n_blocks, n_threads, [&](int i) {
+    int64_t row = (int64_t)i * max_seq;
+    int32_t total = 0;
+    int r = tpulz4_parse_sequences(
+        src + src_offsets[i], src_lens[i], max_seq,
+        lit_out + row, lit_src + row, lit_len + row,
+        m_out + row, m_dist + row, m_len + row, &total);
+    n_seq_out[i] = r;
+    total_out[i] = total;
+    if (r >= 0 && tail_mode > 0) {
+      size_t tail = (size_t)(max_seq - r) * sizeof(int32_t);
+      std::memset(lit_len + row + r, 0, tail);
+      std::memset(m_len + row + r, 0, tail);
+      std::memset(lit_src + row + r, 0, tail);
+      std::memset(m_dist + row + r, 0, tail);
+      if (tail_mode > 1) {
+        constexpr int32_t kSentinel = 1 << 30;
+        for (int j = r; j < max_seq; ++j) {
+          lit_out[row + j] = kSentinel;
+          m_out[row + j] = kSentinel;
         }
+      } else {
+        std::memset(lit_out + row + r, 0, tail);
+        std::memset(m_out + row + r, 0, tail);
       }
     }
-  };
-  if (n_threads <= 1) {
-    work(0);
-    return;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(n_threads);
-  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
-  for (auto& th : threads) th.join();
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -1455,35 +1451,6 @@ class ScratchLease {
   uint8_t* p_;
   bool leased_;
 };
-
-// Work-stealing loop for bodies that also feed a serial in-order
-// frontier (content hash / ordered emission): indices come from a shared
-// counter so per-block cost imbalance (some threads also advance the
-// frontier) self-balances, and each thread runs `finish()` before exiting
-// so threads that run out of blocks keep draining the frontier instead of
-// leaving all residual serial work to the last one.
-template <typename F, typename G>
-void parallel_for_dynamic(int n, int n_threads, F f, G finish) {
-  if (n_threads <= 1 || n <= 1) {
-    for (int i = 0; i < n; ++i) f(i);
-    finish();
-    return;
-  }
-  std::atomic<int> next{0};
-  auto worker = [&] {
-    for (;;) {
-      int i = next.fetch_add(1, std::memory_order_relaxed);
-      if (i >= n) break;
-      f(i);
-    }
-    finish();
-  };
-  std::vector<std::thread> ts;
-  ts.reserve(n_threads - 1);
-  for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
-  worker();
-  for (auto& th : ts) th.join();
-}
 
 }  // namespace frame
 
@@ -1585,7 +1552,7 @@ TPULZ4_API int64_t tpulz4_frame_compress(
     emit_busy.clear(std::memory_order_release);
   };
 
-  frame::parallel_for_dynamic(n, n_threads, [&](int i) {
+  parallel_for_dynamic(n, n_threads, [&](int i) {
     int64_t off = (int64_t)i * bs;
     int len = (int)(raw_len - off < bs ? raw_len - off : bs);
     uint8_t* out = scratch.get() + (size_t)i * cap;
@@ -1749,7 +1716,7 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
       hash_next.store(j, std::memory_order_relaxed);
       hash_busy.clear(std::memory_order_release);
     };
-    frame::parallel_for_dynamic(n, n_threads, [&](int i) {
+    parallel_for_dynamic(n, n_threads, [&](int i) {
       // stride-bs layout; every block clamps to the remaining capacity, so
       // an undersized dest surfaces as E_DEST_TOO_SMALL from the block
       int64_t out_off = frame_dest + (int64_t)i * bs;
@@ -1957,7 +1924,7 @@ TPULZ4_API int64_t tpulz4_blockstream_compress(
     emit_busy.clear(std::memory_order_release);
   };
 
-  frame::parallel_for_dynamic(n, n_threads, [&](int i) {
+  parallel_for_dynamic(n, n_threads, [&](int i) {
     int64_t off = (int64_t)i * block_size;
     int len = (int)(raw_len - off < block_size ? raw_len - off : block_size);
     checks[i] = tpulz4_xxh32(raw + off, len, SEED) & 0xFFFFFFFu;
@@ -2035,7 +2002,7 @@ TPULZ4_API int64_t tpulz4_blockstream_decompress(
   // dynamic scheduling: per-block decode cost varies with content, and the
   // shared counter keeps both cores busy to the end (the static strided
   // split left the tail imbalance to one thread)
-  frame::parallel_for_dynamic((int)blocks.size(), n_threads, [&](int i) {
+  parallel_for_dynamic((int)blocks.size(), n_threads, [&](int i) {
     const Blk& b = blocks[i];
     if (b.raw) {
       std::memcpy(dest + b.dst_off, src + b.src_off, b.olen);
