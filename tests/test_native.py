@@ -449,6 +449,56 @@ class TestOneShotDestReuse:
             assert got == data and consumed == len(framed)
 
 
+def test_batch_per_block_error_isolation(calgary, rng):
+    """The work-stealing batch decode must report errors per block and leave
+    valid blocks intact: corrupt every third block's length (undersized) in
+    a packed batch and check codes land exactly where the corruption is."""
+    import numpy as np
+    from lz4_tpu.api import native_instances as ni
+    from lz4_tpu.native import bindings
+    import ctypes
+
+    data = (calgary["book1"] * 2)[:16 * 65536]
+    comp, offs, lens = ni.compress_fast_packed(data, 65536)
+    lens = np.array(lens, np.int32)
+    bad = np.arange(0, len(lens), 3)
+    lens[bad] = lens[bad] // 2  # truncated compressed streams
+
+    lib = bindings.load()
+    n = len(lens)
+    dest = bytearray(n * 65536)
+    out_lens = np.zeros(n, np.int32)
+    offs64 = np.ascontiguousarray(offs, np.int64)
+    i64p, i32p = ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)
+    src_buf = (ctypes.c_uint8 * len(comp)).from_buffer(comp)
+    dst_buf = (ctypes.c_uint8 * len(dest)).from_buffer(dest)
+    lib.tpulz4_decompress_safe_batch(
+        ctypes.cast(src_buf, ctypes.POINTER(ctypes.c_uint8)),
+        offs64.ctypes.data_as(i64p), lens.ctypes.data_as(i32p),
+        ctypes.cast(dst_buf, ctypes.POINTER(ctypes.c_uint8)),
+        (np.arange(n, dtype=np.int64) * 65536).ctypes.data_as(i64p),
+        65536, out_lens.ctypes.data_as(i32p), n, 2)
+    for i in range(n):
+        if i in bad:
+            assert out_lens[i] < 0, i
+        else:
+            assert out_lens[i] == 65536, i
+            assert (bytes(dest[i * 65536:(i + 1) * 65536])
+                    == data[i * 65536:(i + 1) * 65536]), i
+
+
+def test_frame_4mb_blocks_large_roundtrip(calgary):
+    """Multi-block 4MB-block frame (BASELINE config #2 shape) through the
+    native one-shots, with and without content checksum."""
+    from lz4_tpu.api import native_instances as ni
+
+    data = (b"".join(calgary.values()) * 24)[:3 * (4 << 20) + 12345]
+    for flags in (0, ni.F_CONTENT_CHECKSUM):
+        frm = ni.compress_frame_packed(data, 7, flags)
+        out, consumed = ni.decompress_frame_packed(frm)
+        assert out == data and consumed == len(frm)
+
+
 def test_frame_auto_grow_highly_compressible(calgary):
     """Auto-alloc decompress starts from a 4x-compressed-size guess; on
     >4:1 frames the first pass runs with a clamped dest and can fail
