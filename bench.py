@@ -167,6 +167,34 @@ def bench_native_formats(corpus: bytes):
     out["blockstream_decompress_gbps"] = round(len(data) / min(times) / 1e9,
                                                3)
 
+    # BASELINE config #4: frame with content AND block checksums
+    both = ni.F_CONTENT_CHECKSUM | ni.F_BLOCK_CHECKSUM
+    frb = ni.compress_frame_packed(data, 4, both)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        dec, _ = ni.decompress_frame_packed(frb, dest=fbuf)
+        times.append(time.time() - t0)
+    assert bytes(dec) == data
+    out["frame_allchecksums_decompress_gbps"] = round(
+        len(data) / min(times) / 1e9, 3)
+
+    # BASELINE config #1: one 64KB block, single stream (latency, not GB/s)
+    blk = data[:BLOCK]
+    from lz4_tpu.api.factory import Lz4Factory
+    f = Lz4Factory.native_instance()
+    comp1 = f.fast_compressor().compress_alloc(blk)
+    dec1 = f.safe_decompressor().decompress_alloc(comp1, 0, len(comp1), BLOCK)
+    assert bytes(dec1) == blk
+    lat = []
+    for _ in range(200):
+        t0 = time.perf_counter()
+        c = f.fast_compressor().compress_alloc(blk)
+        f.safe_decompressor().decompress_alloc(c, 0, len(c), BLOCK)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    out["single_block_roundtrip_us"] = round(lat[len(lat) // 2] * 1e6, 1)
+
     # BASELINE config #2: full-file frame at 4MB blocks (block_size_id 7)
     big = corpus[:48 << 20]
     fr4 = ni.compress_frame_packed(big, 7, ni.F_CONTENT_CHECKSUM)  # warm
