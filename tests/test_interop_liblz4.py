@@ -92,11 +92,15 @@ def _ref_block_decompress(comp: bytes, out_len: int) -> bytes:
 
 
 def _ref_frame_compress(data: bytes, content_checksum=True,
-                        block_size_id=4) -> bytes:
+                        block_size_id=4, block_checksum=False,
+                        content_size=False) -> bytes:
     prefs = _Preferences()
     prefs.frameInfo.blockSizeID = block_size_id   # 4 = 64KB ... 7 = 4MB
     prefs.frameInfo.blockMode = 1                 # independent blocks
     prefs.frameInfo.contentChecksumFlag = 1 if content_checksum else 0
+    prefs.frameInfo.blockChecksumFlag = 1 if block_checksum else 0
+    if content_size:
+        prefs.frameInfo.contentSize = len(data)
     bound = _LIB.LZ4F_compressFrameBound(len(data), ctypes.byref(prefs))
     dst = ctypes.create_string_buffer(bound)
     n = _LIB.LZ4F_compressFrame(dst, bound, data, len(data),
@@ -211,6 +215,39 @@ def test_we_decode_upstream_frames_block_sizes(corpus):
     for bsid in (4, 5, 6, 7):  # 64KB, 256KB, 1MB, 4MB
         fr = _ref_frame_compress(corpus, block_size_id=bsid)
         assert frame.decompress_frame(fr) == corpus
+
+
+def test_flag_matrix_upstream_decodes_ours(corpus):
+    """Every FLG combination (content checksum x block checksum x content
+    size) we can write must decode with upstream LZ4F — the reference pins
+    these bits at LZ4FrameOutputStream.java:308-376."""
+    import itertools
+    for cc, bc, cs in itertools.product((False, True), repeat=3):
+        features = [FrameFlag.BLOCK_INDEPENDENCE]
+        if cc:
+            features.append(FrameFlag.CONTENT_CHECKSUM)
+        if bc:
+            features.append(FrameFlag.BLOCK_CHECKSUM)
+        if cs:
+            features.append(FrameFlag.CONTENT_SIZE)
+        fr = frame.compress_frame(corpus, block_size=BlockSize.SIZE_64KB,
+                                  features=tuple(features))
+        assert _ref_frame_decompress(fr, len(corpus)) == corpus, (cc, bc, cs)
+
+
+def test_flag_matrix_we_decode_upstream(corpus):
+    """...and every combination upstream can write must decode with us,
+    with the content-size accessor agreeing when present."""
+    import itertools
+    import io
+    for cc, bc, cs in itertools.product((False, True), repeat=3):
+        fr = _ref_frame_compress(corpus, content_checksum=cc,
+                                 block_checksum=bc, content_size=cs)
+        assert frame.decompress_frame(fr) == corpus, (cc, bc, cs)
+        if cs:
+            r = frame.Lz4FrameInputStream(io.BytesIO(fr))
+            r.read(1)
+            assert r.expected_content_size == len(corpus)
 
 
 def test_stream_pipeline_interop(corpus):
