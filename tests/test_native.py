@@ -449,6 +449,40 @@ class TestOneShotDestReuse:
             assert got == data and consumed == len(framed)
 
 
+def test_asan_fuzz_campaign(tmp_path):
+    """Memory-safety fuzz of the native decoders under AddressSanitizer
+    (subprocess: ASan must be preloaded at process start). Small iteration
+    count here; tools/asan_fuzz.py documents the full campaign."""
+    import os
+    import pathlib
+    import shutil
+    import subprocess
+    import sys
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("g++ unavailable")
+    asan = subprocess.run([gxx, "-print-file-name=libasan.so"],
+                          capture_output=True, text=True).stdout.strip()
+    if not asan or "/" not in asan:
+        pytest.skip("libasan unavailable")
+    root = pathlib.Path(__file__).resolve().parents[1]
+    lib = tmp_path / "libtpulz4_asan.so"
+    build = subprocess.run(
+        [gxx, "-O1", "-g", "-fsanitize=address", "-fno-omit-frame-pointer",
+         "-shared", "-fPIC", "-pthread",
+         str(root / "lz4_tpu/native/src/tpulz4.cpp"), "-o", str(lib)],
+        capture_output=True, text=True, timeout=300)
+    assert build.returncode == 0, build.stderr[-2000:]
+    env = dict(LD_PRELOAD=asan, ASAN_OPTIONS="detect_leaks=0",
+               PATH=os.environ.get("PATH", ""))
+    res = subprocess.run(
+        [sys.executable, str(root / "tools/asan_fuzz.py"), str(lib), "8000"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert res.returncode == 0, (res.stdout[-1000:], res.stderr[-2000:])
+    assert "clean" in res.stdout
+
+
 def test_batch_per_block_error_isolation(calgary, rng):
     """The work-stealing batch decode must report errors per block and leave
     valid blocks intact: corrupt every third block's length (undersized) in

@@ -1,0 +1,119 @@
+"""ASan fuzz campaign for the native tier.
+
+Drives every native decoder/parser entry point (block safe/fast, sequence
+parser, frame and LZ4Block container decoders at 1-3 threads) with random
+bytes, truncated-valid, and mutated-valid inputs (byte flips, insertions,
+deletions, truncations of real compressed blocks/frames/streams) under
+AddressSanitizer — any overrun, UAF, or invalid read aborts the process.
+The decoder memory-safety surface is the classic LZ4 CVE shape; the
+reference pins it with hand-written adversarial vectors
+(LZ4Test.java:350-419) which tests/test_native.py mirrors; this campaign
+searches beyond the hand-written set.
+
+Usage:
+    g++ -O1 -g -fsanitize=address -fno-omit-frame-pointer -shared -fPIC \
+        -pthread lz4_tpu/native/src/tpulz4.cpp -o /tmp/libtpulz4_asan.so
+    LD_PRELOAD=$(g++ -print-file-name=libasan.so) \
+        ASAN_OPTIONS=detect_leaks=0 \
+        python tools/asan_fuzz.py /tmp/libtpulz4_asan.so 300000
+
+Run routinely by tests/test_native.py::test_asan_fuzz_campaign (slow,
+small iteration count); 300k iterations measured clean.
+"""
+import ctypes, os, random, sys, time
+
+LIB_PATH = sys.argv[1]
+N_ITER = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+lib = ctypes.CDLL(LIB_PATH)
+lib.tpulz4_decompress_safe.restype = ctypes.c_int
+lib.tpulz4_decompress_fast.restype = ctypes.c_int
+lib.tpulz4_compress_fast.restype = ctypes.c_int
+lib.tpulz4_parse_sequences.restype = ctypes.c_int
+lib.tpulz4_frame_decompress.restype = ctypes.c_int64
+lib.tpulz4_blockstream_decompress.restype = ctypes.c_int64
+
+rng = random.Random(0xF422)
+u8p = ctypes.POINTER(ctypes.c_uint8)
+i32p = ctypes.POINTER(ctypes.c_int32)
+
+def buf(b: bytes):
+    return (ctypes.c_uint8 * max(1, len(b))).from_buffer_copy(b or b"\x00")
+
+# seed corpus: valid compressed blocks of varied content
+import pathlib
+cal = pathlib.Path("/root/reference/src/test-resources/calgary/book1").read_bytes()
+valid = []
+cap = 70000
+out = (ctypes.c_uint8 * cap)()
+for i in range(40):
+    src = cal[i*3000:(i+1)*3000 + rng.randrange(2000)]
+    n = lib.tpulz4_compress_fast(buf(src), len(src), out, cap)
+    assert n > 0
+    valid.append(bytes(out[:n]))
+
+lib.tpulz4_frame_compress.restype = ctypes.c_int64
+lib.tpulz4_blockstream_compress.restype = ctypes.c_int64
+fcap = 800000
+fout = (ctypes.c_uint8 * fcap)()
+valid_frames, valid_streams = [], []
+for i in range(8):
+    src_data = cal[i*60000:(i+1)*60000]
+    n = lib.tpulz4_frame_compress(buf(src_data), len(src_data), 4,
+                                  rng.randrange(8), 0, fout, fcap, 2)
+    assert n > 0, n
+    valid_frames.append(bytes(fout[:n]))
+    n = lib.tpulz4_blockstream_compress(buf(src_data), len(src_data),
+                                        1 << 14, fout, fcap, 2)
+    assert n > 0, n
+    valid_streams.append(bytes(fout[:n]))
+
+def mutate(b):
+    b = bytearray(b)
+    for _ in range(rng.randrange(1, 10)):
+        op = rng.randrange(3)
+        if op == 0 and len(b) > 1:
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1 and len(b) > 2:
+            del b[rng.randrange(len(b))]
+        else:
+            b.insert(rng.randrange(len(b) + 1), rng.randrange(256))
+    if rng.random() < 0.3:
+        b = b[:rng.randrange(1, len(b) + 1)]
+    return bytes(b)
+
+cdest = (ctypes.c_uint8 * 700000)()
+dest = (ctypes.c_uint8 * 70000)()
+t0 = time.time()
+for it in range(N_ITER):
+    mode = rng.randrange(10)
+    if mode < 4:  # mutated valid block
+        b = bytearray(rng.choice(valid))
+        for _ in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        data = bytes(b)
+    elif mode < 6:  # truncated valid
+        v = rng.choice(valid)
+        data = v[:rng.randrange(1, len(v) + 1)]
+    elif mode < 8:  # pure random
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 600)))
+    else:  # random with high-token bias (long runs/offsets)
+        data = bytes(rng.choice([0xFF, 0xF0, 0x0F, 0x00, rng.randrange(256)])
+                     for _ in range(rng.randrange(1, 300)))
+    dcap = rng.choice([0, 1, 17, 300, 5000, 65536])
+    lib.tpulz4_decompress_safe(buf(data), len(data), dest, dcap)
+    lib.tpulz4_decompress_fast(buf(data), len(data), dest, dcap)
+    # parser (gather pipeline front end)
+    S = 4096
+    tabs = [(ctypes.c_int32 * S)() for _ in range(6)]
+    tot = ctypes.c_int32(0)
+    lib.tpulz4_parse_sequences(buf(data), len(data), S, *tabs, ctypes.byref(tot))
+    # container decoders on random/mutated container bytes
+    consumed = ctypes.c_int64(0)
+    nt = rng.choice([1, 2, 3])
+    fr = mutate(rng.choice(valid_frames)) if rng.random() < 0.7 else data
+    lib.tpulz4_frame_decompress(buf(fr), len(fr), cdest, 700000, nt, 0,
+                                ctypes.byref(consumed))
+    bs = mutate(rng.choice(valid_streams)) if rng.random() < 0.7 else data
+    lib.tpulz4_blockstream_decompress(buf(bs), len(bs), cdest, 700000, nt,
+                                      rng.randrange(2), ctypes.byref(consumed))
+print(f"ASan fuzz: {N_ITER} iterations clean in {time.time()-t0:.0f}s")
