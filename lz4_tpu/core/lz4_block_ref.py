@@ -325,10 +325,14 @@ def _incremental_copy(dest, match_off: int, d_off: int, match_len: int) -> None:
     """
     dist = d_off - match_off
     if dist == 0:
-        # matchDec == 0: the reference copies each byte onto itself — a
-        # deterministic no-op that must neither throw nor loop
-        # (LZ4SafeUtils.safeIncrementalCopy with matchOff == dOff;
-        # pinned by LZ4Test.testNullMatchDec, LZ4Test.java:350-361).
+        # matchDec == 0: the reference pins only that this must neither
+        # throw nor loop (LZ4Test.testNullMatchDec, LZ4Test.java:350-361);
+        # the bytes themselves are unspecified (Java self-copies, leaving
+        # whatever the dest buffer held). This framework defines them as
+        # zeros in EVERY tier so the output of malformed input is
+        # deterministic and byte-identical across tiers regardless of
+        # buffer history.
+        dest[d_off:d_off + match_len] = bytes(match_len)
         return
     if dist >= match_len:
         dest[d_off:d_off + match_len] = dest[match_off:match_off + match_len]

@@ -145,6 +145,19 @@ def _decompress_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref,
 
         lax.cond(dist >= CHUNK, far, near, 0)
 
+    def zero_fill(d, n):
+        # null match offset (match_dec == 0): the framework defines these
+        # bytes as zeros in every tier (deterministic malformed-input
+        # output; Pallas out buffers are not zero-initialized, so the fill
+        # is explicit here)
+        z = jnp.zeros((CHUNK,), jnp.int32)
+
+        def body(i, _):
+            off = i * CHUNK
+            _store_unaligned(out_ref, d + off, z, jnp.minimum(CHUNK, n - off))
+            return 0
+        lax.fori_loop(0, (n + CHUNK - 1) // CHUNK, body, 0)
+
     def read_ext_len(s, base):
         def cond(st):
             return jnp.logical_not(st[3])
@@ -223,6 +236,10 @@ def _decompress_kernel(len_ref, comp_ref, out_ref, olen_ref, err_ref,
                 @pl.when((e == OK) & (match_dec > 0))
                 def _():
                     copy_match(d, match_dec, m_len)
+
+                @pl.when((e == OK) & (match_dec == 0))
+                def _():
+                    zero_fill(d, m_len)
 
                 d2 = jnp.where(e == OK, d + m_len, d)
                 return s2, d2, e

@@ -787,6 +787,13 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
       if (dist != 0) {
         match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
                    (int)dist, match_len, dest_len);
+      } else {
+        // null match offset: must not throw or loop (the reference pins
+        // only that, LZ4Test.java:350-361); this framework defines the
+        // bytes as zeros in every tier so malformed-input output is
+        // deterministic and never exposes shortcut-copy slop or stale
+        // dest contents
+        std::memset(op, 0, (size_t)match_len);
       }
       op += match_len;
     }
@@ -888,6 +895,13 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
       if (dist != 0) {
         match_copy(dest, (int)(op - dest) - (int)dist, (int)(op - dest),
                    (int)dist, match_len, dest_len);
+      } else {
+        // null match offset: must not throw or loop (the reference pins
+        // only that, LZ4Test.java:350-361); this framework defines the
+        // bytes as zeros in every tier so malformed-input output is
+        // deterministic and never exposes shortcut-copy slop or stale
+        // dest contents
+        std::memset(op, 0, (size_t)match_len);
       }
       op += match_len;
     }

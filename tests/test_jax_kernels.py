@@ -141,6 +141,28 @@ def test_lz4_pallas_decompress_malformed_interpret():
     assert int(np.asarray(err)[0]) == 0
 
 
+def test_lz4_pallas_null_match_bytes_are_zeros():
+    """Null-offset match bytes are explicit zeros (tier-wide definition;
+    Pallas out buffers are not zero-initialized, so the kernel must fill)."""
+    from lz4_tpu.kernels.lz4_pallas import decompress_safe_pallas, PAD as KPAD
+
+    # 4 literals, null match len 7, 14 trailing literals (same vector as
+    # tests/test_lz4_block.py::test_null_match_dec_bytes_are_zeros_across_tiers)
+    lits = bytes(range(65, 69))
+    tail = bytes(range(80, 94))
+    stream = bytes([0x43]) + lits + bytes([0, 0]) + bytes([0xE0]) + tail
+    out_len = 4 + 7 + 14
+    expect = lits + b"\x00" * 7 + tail
+    carr = np.zeros((1, len(stream) + KPAD), np.int32)
+    carr[0, :len(stream)] = np.frombuffer(stream, np.uint8)
+    out, olens, err = decompress_safe_pallas(
+        carr, np.array([len(stream)], np.int32), out_len, interpret=True)
+    assert int(np.asarray(err)[0]) == 0
+    assert int(np.asarray(olens)[0]) == out_len
+    got = np.asarray(out)[0, :out_len].astype(np.uint8).tobytes()
+    assert got == expect
+
+
 @pytest.mark.parametrize("L", [64, 256])
 def test_xxh64_pallas_interpret_matches_reference(L, rng):
     from lz4_tpu.kernels.xxhash64_pallas import xxh64_words_pallas

@@ -117,6 +117,43 @@ def test_null_match_dec_does_not_hang_or_throw():
     decompress_safe(invalid, 0, len(invalid), bytearray(20), 0, 20)
 
 
+def test_null_match_dec_bytes_are_zeros_across_tiers():
+    """The reference pins only no-throw/no-hang for null match offsets
+    (LZ4Test.java:350-361); the bytes are unspecified there. This framework
+    defines them as ZEROS in every tier, so even malformed-input output is
+    deterministic and byte-identical across tiers — regardless of dest
+    buffer history or the native shortcut's wild-copy slop (found by the
+    tools/diff_fuzz.py oracle: the native tier used to leak slop bytes
+    where the safe tier left fresh-buffer zeros)."""
+    from lz4_tpu.api.factory import Lz4Factory
+
+    # 4 literals, null match (len 4+3), 14 trailing literals: long enough
+    # that the native shortcut path (blind 16B literal copy) runs first
+    lits = bytes(range(65, 69))
+    tail = bytes(range(80, 94))
+    stream = bytes([0x43]) + lits + bytes([0, 0]) + bytes([0xE0]) + tail
+    out_len = 4 + 7 + 14
+    expect = lits + b"\x00" * 7 + tail
+
+    tiers = [Lz4Factory.safe_instance()]
+    try:
+        tiers.append(Lz4Factory.native_instance())
+    except Exception:
+        pass
+    for tier in tiers:
+        # dirty dest: the zeros must be written, not inherited
+        dest = bytearray(b"\xAA" * (out_len + 8))
+        n = tier.safe_decompressor().decompress(stream, 0, len(stream),
+                                                dest, 0, out_len)
+        assert n == out_len, tier.impl
+        assert bytes(dest[:out_len]) == expect, tier.impl
+        dest2 = bytearray(b"\x55" * (out_len + 8))
+        read = tier.fast_decompressor().decompress(stream, 0, dest2, 0,
+                                                   out_len)
+        assert read == len(stream), tier.impl
+        assert bytes(dest2[:out_len]) == expect, tier.impl
+
+
 def test_ends_with_match_throws():
     invalid = bytes([96, 42, 43, 44, 45, 46, 47, 5, 0])
     with pytest.raises(Lz4Error):
