@@ -148,10 +148,15 @@ for it in range(N_ITER):
     theirs = dst.raw[:n]
     assert our_decode(theirs, len(data)) == data, ("we reject upstream", it)
     # 4: mutated blocks — our tiers must agree exactly; upstream must agree
-    # on accepted bytes unless the stream has a null-offset match
+    # on accepted bytes unless the stream has a null-offset match.
+    # HC output mutates too: different token/offset distributions.
+    base_stream = ours
+    if ours and len(data) <= 20000 and rng.random() < 0.3:
+        base_stream = bytes(native.high_compressor(
+            rng.choice([1, 9, 17])).compress_alloc(data))
     if ours:
         for _ in range(4):
-            m = bytearray(ours)
+            m = bytearray(base_stream)
             for _ in range(rng.randrange(1, 6)):
                 m[rng.randrange(len(m))] = rng.randrange(256)
             if rng.random() < 0.3:
