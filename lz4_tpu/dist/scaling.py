@@ -94,8 +94,10 @@ def _control_times(widths, trials: int) -> dict:
                            out_specs=P(BLOCK_AXIS, None, None))
         def f(x):
             x0 = x[0]
+            # long enough (~0.3 s/shard) that per-dispatch noise does not
+            # dominate the ratio; still well under the codec's shard time
             return jax.lax.fori_loop(
-                0, 400, lambda i, v: jnp.tanh(v @ x0), x0)[None]
+                0, 1200, lambda i, v: jnp.tanh(v @ x0), x0)[None]
 
         step = lambda: f(a)
         jax.block_until_ready(step())
@@ -162,9 +164,11 @@ def measure(total_blocks: int = 32, block_len: int = 4096,
         out["core_normalized_efficiency"][str(w)] = round(
             eff * w / min(w, n_cores), 3)
     out["control_efficiency"] = _control_times(widths, trials)
+    # capped at 1.0: above-control ratios only mean the codec's longer
+    # shards overlap better than the control does, not super-linear scaling
     out["calibrated_efficiency"] = {
-        w: round(out["shard_parallel_efficiency"][w]
-                 / out["control_efficiency"][w], 3)
+        w: min(1.0, round(out["shard_parallel_efficiency"][w]
+                          / out["control_efficiency"][w], 3))
         for w in out["shard_parallel_efficiency"]
         if out["control_efficiency"].get(w)}
     hw = str(min(n_cores, max(widths)))
