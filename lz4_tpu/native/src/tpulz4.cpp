@@ -2034,4 +2034,4 @@ TPULZ4_API int64_t tpulz4_blockstream_decompress(
   return total;
 }
 
-TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.1.0"; }
+TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.3.0"; }

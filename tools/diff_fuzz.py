@@ -177,7 +177,8 @@ for it in range(N_ITER):
                 print(f"DIVERGENCE it={it} seed={SEED:#x} len={len(data)} "
                       f"mutated={m[:64].hex()}...")
                 fail += 1
-    # 5: random-flag frame roundtrip (library writer, library reader)
+    # 5: random-flag frame roundtrip (library writer, library reader),
+    # sometimes composed with skippable frames and frame concatenation
     if it % 10 == 0:
         feats = [FrameFlag.BLOCK_INDEPENDENCE]
         for fl in (FrameFlag.CONTENT_CHECKSUM, FrameFlag.BLOCK_CHECKSUM,
@@ -187,6 +188,16 @@ for it in range(N_ITER):
         bs = rng.choice(list(BlockSize))
         fr = frame.compress_frame(data, block_size=bs, features=tuple(feats))
         assert frame.decompress_frame(fr) == data, ("frame roundtrip", it)
+        if rng.random() < 0.4:
+            head = data[:rng.randrange(0, min(len(data), 5000) + 1)]
+            fr2 = frame.compress_frame(head, block_size=BlockSize.SIZE_64KB)
+            sk = frame.make_skippable_frame(
+                bytes(rng.randrange(256) for _ in range(rng.randrange(64))),
+                subtype=rng.randrange(16))
+            combo = sk + fr2 + sk + fr
+            assert frame.decompress_frame(combo) == head + data, ("concat", it)
+            assert frame.decompress_frame(
+                combo, read_single_frame=True) == head, ("single", it)
 
 if fail:
     sys.exit(f"{fail} divergences")
