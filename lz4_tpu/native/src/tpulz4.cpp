@@ -96,6 +96,29 @@ constexpr int TPULZ4_E_PARAM = -3;
 // fast-scan compressor
 // ---------------------------------------------------------------------------
 
+// guarded region (callers ensure >= COPY_LENGTH slack or exact tail)
+static inline void wild_copy8(uint8_t* dst, const uint8_t* src, int len) {
+  uint8_t* d = dst;
+  const uint8_t* s = src;
+  uint8_t* end = dst + len;
+  do {
+    std::memcpy(d, s, 8);
+    d += 8;
+    s += 8;
+  } while (d < end);
+}
+
+static inline void wild_copy16(uint8_t* dst, const uint8_t* src, int len) {
+  uint8_t* d = dst;
+  const uint8_t* s = src;
+  uint8_t* end = dst + len;
+  do {
+    std::memcpy(d, s, 16);
+    d += 16;
+    s += 16;
+  } while (d < end);
+}
+
 // pointer helpers shared by the two compressors
 inline int common_bytes_p(const uint8_t* a, const uint8_t* b,
                           const uint8_t* b_limit) {
@@ -131,19 +154,24 @@ static int compress64k(const uint8_t* src, int src_len, uint8_t* dest, int dest_
     std::vector<uint16_t> table(1 << HASH_LOG_64K, 0);
     ++ip;
     for (;;) {
-      // find a match with skip acceleration
+      // find a match with skip acceleration; the hash of the NEXT candidate
+      // is computed while the current table probe resolves (pure
+      // scheduling: probe order and table updates are unchanged, so the
+      // output stays byte-identical)
       const uint8_t* fwd = ip;
       int step = 1;
       int search_match_nb = 1 << SKIP_STRENGTH;
       const uint8_t* ref;
+      uint32_t h = hash_64k(read32(fwd));
       do {
         ip = fwd;
         fwd += step;
         step = search_match_nb++ >> SKIP_STRENGTH;
         if (fwd > mflimit) goto last;
-        uint32_t h = hash_64k(read32(ip));
+        uint32_t next_h = hash_64k(read32(fwd));
         ref = src + table[h];
         table[h] = (uint16_t)(ip - src);
+        h = next_h;
       } while (read32(ref) != read32(ip));
 
       {
@@ -159,7 +187,8 @@ static int compress64k(const uint8_t* src, int src_len, uint8_t* dest, int dest_
         } else {
           *token = (uint8_t)(run_len << ML_BITS);
         }
-        std::memcpy(op, anchor, run_len);
+        // wild 8-byte strides (>= 8 bytes of slack guaranteed above)
+        wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
         op += run_len;
 
         for (;;) {
@@ -226,20 +255,24 @@ static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int 
   std::vector<int32_t> table(1 << HASH_LOG, 0);  // init to anchor == 0
 
   for (;;) {
+    // next-candidate hash preloaded while the current probe resolves
+    // (scheduling only; probe order and table updates unchanged)
     const uint8_t* fwd = ip;
     int step = 1;
     int search_match_nb = 1 << SKIP_STRENGTH;
     const uint8_t* ref;
     int back;
+    uint32_t h = hash_general(read32(fwd));
     do {
       ip = fwd;
       fwd += step;
       step = search_match_nb++ >> SKIP_STRENGTH;
       if (fwd > mflimit) goto last;
-      uint32_t h = hash_general(read32(ip));
+      uint32_t next_h = hash_general(read32(fwd));
       ref = src + table[h];
       back = (int)(ip - ref);
       table[h] = (int32_t)(ip - src);
+      h = next_h;
     } while (back >= MAX_DISTANCE || read32(ref) != read32(ip));
 
     {
@@ -255,7 +288,10 @@ static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int 
       } else {
         *token = (uint8_t)(run_len << ML_BITS);
       }
-      std::memcpy(op, anchor, run_len);
+      // wild 8-byte strides: the dest check above guarantees >= 8 bytes
+      // of slack past run_len, and the offset bytes written next overwrite
+      // any slop
+      wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
       op += run_len;
 
       for (;;) {
@@ -597,29 +633,6 @@ static inline unsigned read16le(const uint8_t* p) {
 }
 
 // wild copy: 8/16-byte strided copies with overrun allowed inside the
-// guarded region (callers ensure >= COPY_LENGTH slack or exact tail)
-static inline void wild_copy8(uint8_t* dst, const uint8_t* src, int len) {
-  uint8_t* d = dst;
-  const uint8_t* s = src;
-  uint8_t* end = dst + len;
-  do {
-    std::memcpy(d, s, 8);
-    d += 8;
-    s += 8;
-  } while (d < end);
-}
-
-static inline void wild_copy16(uint8_t* dst, const uint8_t* src, int len) {
-  uint8_t* d = dst;
-  const uint8_t* s = src;
-  uint8_t* end = dst + len;
-  do {
-    std::memcpy(d, s, 16);
-    d += 16;
-    s += 16;
-  } while (d < end);
-}
-
 // small-distance expansion tables (derived, see notes below). The output of
 // an overlap match is periodic with period `dist`; after writing the first
 // 8 bytes (4 byte-wise + one 4-byte copy whose source offset keeps reads
