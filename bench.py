@@ -252,8 +252,6 @@ def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
     out["hc9_ratio_vs_reference"] = 1.0  # asserted byte-identical above
 
     try:
-        import time
-
         lib = ctypes.CDLL("liblz4.so.1")
         sample = data[:1 << 20]
         lib.LZ4_compressBound.restype = ctypes.c_int

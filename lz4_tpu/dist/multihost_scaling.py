@@ -78,10 +78,19 @@ def _spawn(nproc: int, port: int, blocks_n: int, block_len: int,
              outs[p], str(blocks_n), str(block_len)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env) for p in range(nproc)]
-        for pr in procs:
-            _, err = pr.communicate(timeout=timeout)
-            if pr.returncode != 0:
-                raise RuntimeError(f"multihost scaling worker failed:\n{err}")
+        try:
+            for pr in procs:
+                _, err = pr.communicate(timeout=timeout)
+                if pr.returncode != 0:
+                    raise RuntimeError(
+                        f"multihost scaling worker failed:\n{err}")
+        finally:
+            # a failed/timed-out worker must not strand its siblings inside
+            # the jax.distributed barrier holding the coordinator port
+            for pr in procs:
+                if pr.poll() is None:
+                    pr.kill()
+                    pr.wait()
         return max(json.load(open(o))["best_s"] for o in outs)
 
 

@@ -187,8 +187,13 @@ static int compress64k(const uint8_t* src, int src_len, uint8_t* dest, int dest_
         } else {
           *token = (uint8_t)(run_len << ML_BITS);
         }
-        // wild 8-byte strides (>= 8 bytes of slack guaranteed above)
-        wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
+        // wild 8-byte strides when the rounded-up end provably fits (see
+        // the general path's note); exact copy otherwise
+        if (op + run_len + 16 <= oend) {
+          wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
+        } else {
+          std::memcpy(op, anchor, run_len);
+        }
         op += run_len;
 
         for (;;) {
@@ -288,10 +293,16 @@ static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int 
       } else {
         *token = (uint8_t)(run_len << ML_BITS);
       }
-      // wild 8-byte strides: the dest check above guarantees >= 8 bytes
-      // of slack past run_len, and the offset bytes written next overwrite
-      // any slop
-      wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
+      // wild 8-byte strides when the rounded-up copy end provably fits
+      // (the sequence bound check above reserves run_len + 8 + (run_len>>8)
+      // AFTER the length bytes, which can undercut the +7 wild rounding by
+      // a byte when the length bytes consume the >>8 estimate — caught by
+      // review, regression-tested); offset bytes written next overwrite slop
+      if (op + run_len + 16 <= oend) {
+        wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
+      } else {
+        std::memcpy(op, anchor, run_len);
+      }
       op += run_len;
 
       for (;;) {
@@ -754,6 +765,7 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
         b = *ip++;
         if (b != 0xFF) break;
         literal_len += 0xFF;
+        if (literal_len >= 0x7E000000) return TPULZ4_E_MALFORMED;
       }
       literal_len += b;
     }
@@ -791,6 +803,7 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
           b = *ip++;
           if (b != 0xFF) break;
           match_len += 0xFF;
+          if (match_len >= 0x7E000000) return TPULZ4_E_MALFORMED;
         }
         match_len += b;
       }
@@ -863,6 +876,7 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
         int b = *ip++;
         if (b != 0xFF) { literal_len += b; break; }
         literal_len += 0xFF;
+        if (literal_len >= 0x7E000000) return TPULZ4_E_MALFORMED;
       }
     }
 
@@ -900,6 +914,7 @@ TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
           int b = *ip++;
           if (b != 0xFF) { match_len += b; break; }
           match_len += 0xFF;
+          if (match_len >= 0x7E000000) return TPULZ4_E_MALFORMED;
         }
       }
       match_len += MIN_MATCH;
@@ -1299,6 +1314,7 @@ TPULZ4_API int tpulz4_parse_sequences(
         b = src[s++];
         if (b != 0xFF) break;
         lit_len += 0xFF;
+        if (lit_len >= 0x7E000000) return TPULZ4_E_MALFORMED;
       }
       lit_len += b;
     }
@@ -1330,6 +1346,7 @@ TPULZ4_API int tpulz4_parse_sequences(
         b = src[s++];
         if (b != 0xFF) break;
         match_len += 0xFF;
+        if (match_len >= 0x7E000000) return TPULZ4_E_MALFORMED;
       }
       match_len += b;
     }

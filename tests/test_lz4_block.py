@@ -154,6 +154,41 @@ def test_null_match_dec_bytes_are_zeros_across_tiers():
         assert bytes(dest2[:out_len]) == expect, tier.impl
 
 
+def test_extension_length_bomb_raises():
+    """~8.4M 0xFF extension bytes would wrap the int32 length accumulator
+    negative and bypass every downstream bound check (converting to an
+    ~2^64 memset/memcpy in the native tier — found by review); all tiers
+    must reject with an error instead. Also pins the match-length side."""
+    from lz4_tpu.api.factory import Lz4Factory
+
+    def bombs(n_ext):
+        lit = bytes([0xF0]) + b"\xFF" * n_ext + bytes([0x00])
+        # 5 literals so a match is legal, offset 1, then the 0xFF run
+        match = (bytes([0x5F]) + b"12345" + bytes([0x01, 0x00])
+                 + b"\xFF" * n_ext + bytes([0x00]))
+        return (lit, match)
+
+    # native: full-size bombs that actually wrap int32 without the guard
+    try:
+        nat = Lz4Factory.native_instance()
+    except Exception:
+        nat = None
+    if nat is not None:
+        for bomb in bombs(8_500_000):
+            with pytest.raises(Lz4Error):
+                nat.safe_decompressor().decompress_alloc(
+                    bomb, 0, len(bomb), 1 << 16)
+            with pytest.raises(Lz4Error):
+                nat.fast_decompressor().decompress_alloc(bomb, 0, 1 << 16)
+    # safe tier: arbitrary-precision ints cannot wrap; a small bomb pins
+    # the same reject-on-bounds behavior without an 8M-iteration walk
+    safe = Lz4Factory.safe_instance()
+    for bomb in bombs(50_000):
+        with pytest.raises(Lz4Error):
+            safe.safe_decompressor().decompress_alloc(
+                bomb, 0, len(bomb), 1 << 16)
+
+
 def test_ends_with_match_throws():
     invalid = bytes([96, 42, 43, 44, 45, 46, 47, 5, 0])
     with pytest.raises(Lz4Error):

@@ -39,9 +39,14 @@ i32p = ctypes.POINTER(ctypes.c_int32)
 def buf(b: bytes):
     return (ctypes.c_uint8 * max(1, len(b))).from_buffer_copy(b or b"\x00")
 
-# seed corpus: valid compressed blocks of varied content
+# seed corpus: valid compressed blocks of varied content (generated
+# fallback when the Calgary corpus is absent, mirroring bench.load_corpus)
 import pathlib
-cal = pathlib.Path("/root/reference/src/test-resources/calgary/book1").read_bytes()
+_cal_path = pathlib.Path("/root/reference/src/test-resources/calgary/book1")
+if _cal_path.exists():
+    cal = _cal_path.read_bytes()
+else:
+    cal = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(1 << 20))
 valid = []
 cap = 70000
 out = (ctypes.c_uint8 * cap)()
@@ -83,6 +88,30 @@ def mutate(b):
 
 cdest = (ctypes.c_uint8 * 700000)()
 dest = (ctypes.c_uint8 * 70000)()
+
+# libc-malloc'd exact-size buffers: ASan tracks them, so a single byte
+# written past a tight compress dest cap aborts (pymalloc pools can mask
+# small overruns in ctypes-allocated buffers)
+libc = ctypes.CDLL(None)
+libc.malloc.restype = ctypes.c_void_p
+libc.malloc.argtypes = [ctypes.c_size_t]
+libc.free.argtypes = [ctypes.c_void_p]
+
+def compress_tight(data: bytes, cap: int):
+    p = libc.malloc(max(cap, 1))
+    try:
+        lib.tpulz4_compress_fast(buf(data), len(data),
+                                 ctypes.cast(p, u8p), cap)
+    finally:
+        libc.free(p)
+
+# directed sweep: a long literal run + matches, dest caps walked through
+# the exact emission boundary (the wild-literal-emission overflow shape)
+_dir = bytes(rng.randrange(256) for _ in range(6000)) + b"ab" * 64
+_need = lib.tpulz4_compress_fast(buf(_dir), len(_dir), cdest, 700000)
+for cap in range(max(1, _need - 24), _need + 8):
+    compress_tight(_dir, cap)
+
 t0 = time.time()
 for it in range(N_ITER):
     mode = rng.randrange(10)
@@ -116,4 +145,10 @@ for it in range(N_ITER):
     bs = mutate(rng.choice(valid_streams)) if rng.random() < 0.7 else data
     lib.tpulz4_blockstream_decompress(buf(bs), len(bs), cdest, 700000, nt,
                                       rng.randrange(2), ctypes.byref(consumed))
+    # compress with a tight, exactly-sized dest every few iterations
+    if it % 8 == 0:
+        raw = cal[rng.randrange(len(cal) - 8000):][:rng.randrange(100, 8000)]
+        need = lib.tpulz4_compress_fast(buf(raw), len(raw), cdest, 700000)
+        compress_tight(raw, max(1, need - rng.randrange(0, 24)))
+        compress_tight(raw, need)
 print(f"ASan fuzz: {N_ITER} iterations clean in {time.time()-t0:.0f}s")
