@@ -483,6 +483,34 @@ def test_asan_fuzz_campaign(tmp_path):
     assert "clean" in res.stdout
 
 
+def test_max_input_boundary_roundtrip():
+    """One call at the reference's input-size cap (0x7E000000 ~ 2.1 GB,
+    LZ4Utils.java:32,37-38): compress + decompress a maximally-compressible
+    buffer just under the cap through the native entry points, and reject
+    at the cap through the API bound."""
+    import ctypes
+    from lz4_tpu.core.constants import max_compressed_length
+    from lz4_tpu.native import bindings
+
+    lib = bindings.load()
+    n_in = 0x7E000000 - 1
+    src = bytearray(n_in)  # zeros
+    cap = max_compressed_length(n_in)
+    comp = bytearray(cap)
+    n = lib.tpulz4_compress_fast(
+        (ctypes.c_uint8 * n_in).from_buffer(src), n_in,
+        (ctypes.c_uint8 * cap).from_buffer(comp), cap)
+    assert 0 < n < 16 << 20
+    dst = bytearray(n_in)
+    r = lib.tpulz4_decompress_safe(
+        (ctypes.c_uint8 * cap).from_buffer(comp), n,
+        (ctypes.c_uint8 * n_in).from_buffer(dst), n_in)
+    assert r == n_in
+    assert dst[0] == 0 and dst[n_in - 1] == 0 and dst[n_in // 2] == 0
+    with pytest.raises(ValueError):
+        max_compressed_length(0x7E000000)  # at/over the cap: rejected
+
+
 def test_batch_per_block_error_isolation(calgary, rng):
     """The work-stealing batch decode must report errors per block and leave
     valid blocks intact: corrupt every third block's length (undersized) in
