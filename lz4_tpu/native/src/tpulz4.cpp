@@ -421,13 +421,20 @@ struct HashTable {
 
     int lo = off - MAX_DISTANCE + 1;
     if (lo < 0) lo = 0;
+    const uint32_t want = read32(src + off);
     for (int i = 0; i < max_attempts; ++i) {
       if (ref < lo || ref > off) break;
-      if (read32(src + ref) == read32(src + off)) {
+      // Hoist the chain hop and touch the next candidate's bytes before the
+      // (L2-resident) compare + extension work of this one; the walk is a
+      // dependent-load chain, so this is the only latency worth hiding.
+      const int nxt = next(ref);
+      __builtin_prefetch(src + nxt);
+      __builtin_prefetch(&chain[nxt & (MAX_DISTANCE - 1)]);
+      if (read32(src + ref) == want) {
         int len = MIN_MATCH + common_bytes(src, ref + MIN_MATCH, off + MIN_MATCH, match_limit);
         if (len > m.len) { m.ref = ref; m.len = len; }
       }
-      ref = next(ref);
+      ref = nxt;
     }
 
     if (repl != 0) {
@@ -454,9 +461,13 @@ struct HashTable {
     int ref = head[hash_hc(read32(src + off))];
     int lo = off - MAX_DISTANCE + 1;
     if (lo < 0) lo = 0;
+    const uint32_t want = read32(src + off);
     for (int i = 0; i < max_attempts; ++i) {
       if (ref < lo || ref > off) break;
-      if (read32(src + ref) == read32(src + off)) {
+      const int nxt = next(ref);
+      __builtin_prefetch(src + nxt);
+      __builtin_prefetch(&chain[nxt & (MAX_DISTANCE - 1)]);
+      if (read32(src + ref) == want) {
         int fwd = MIN_MATCH + common_bytes(src, ref + MIN_MATCH, off + MIN_MATCH, match_limit);
         int bwd = common_bytes_backward(src, ref, off, 0, start_limit);
         int len = bwd + fwd;
@@ -466,7 +477,7 @@ struct HashTable {
           m.start = off - bwd;
         }
       }
-      ref = next(ref);
+      ref = nxt;
     }
     return m.len > min_len;
   }
