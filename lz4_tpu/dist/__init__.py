@@ -1,5 +1,9 @@
 """T5 distributed runtime: data-parallel block sharding over a device mesh."""
 
+from ..utils.config import configure_jax_cache
+
+configure_jax_cache()
+
 from .mesh import block_mesh, device_count
 from .sharded import (
     shard_compress_blocks, shard_decompress_blocks, shard_xxh32,
