@@ -292,6 +292,37 @@ class XXH64(XXHash64):
                            int(seed) & 0xFFFFFFFFFFFFFFFF)
         return _s64(h[0])
 
+    def hash_batch(self, data, lengths, seed=0):
+        """uint8[N, L], int32[N] -> (hi, lo) uint32[N] pair on device.
+
+        Mirror of XXH32.hash_batch for the 64-bit hash (VERDICT r3 #4):
+        uniform-length batches (L % 64 == 0, all lengths == L) route to the
+        Mosaic tile kernel (kernels/xxhash64_pallas.py) on accelerator
+        backends, padding N up to the kernel's 1024-block tile; ragged
+        batches use the general pure-JAX kernel. 64-bit lanes are (hi, lo)
+        uint32 pairs — TPUs have no native int64; combine host-side with
+        ``(int(hi) << 32) | int(lo)``.
+        """
+        mode = _mosaic_mode()
+        data = np.asarray(data)
+        lens = np.asarray(lengths)
+        n, l = data.shape
+        uniform = (l >= 64 and l % 64 == 0 and bool((lens == l).all()))
+        if mode is not None and uniform and n > 0:
+            from ..kernels.xxhash64_pallas import xxh64_words_pallas
+            from ..kernels.xxhash_pallas import TILE, to_tile_layout_np
+            n_pad = ((n + TILE - 1) // TILE) * TILE
+            if n_pad != n:
+                data = np.concatenate(
+                    [data, np.zeros((n_pad - n, l), np.uint8)], axis=0)
+            words = to_tile_layout_np(data)
+            hi, lo = xxh64_words_pallas(
+                words, l, int(seed) & 0xFFFFFFFFFFFFFFFF,
+                interpret=(mode == "interpret"))
+            return hi[:n], lo[:n]
+        from ..kernels.xxhash_jax import xxh64_batch
+        return xxh64_batch(data, lens, int(seed) & 0xFFFFFFFFFFFFFFFF)
+
 
 class StreamingXXH32(StreamingXXHash32):
     """Device-resident streaming hash.

@@ -129,16 +129,18 @@ def compress_frame_multihost(data: bytes, block_size: int = 1 << 16,
 
 _DRYRUN_WORKER = r"""
 import os, sys
-pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+pid, nproc, port, data_bytes, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+    sys.argv[5])
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
 import jax
 jax.config.update("jax_platforms", "cpu")
 from lz4_tpu.dist import multihost
-multihost.initialize("localhost:" + port, 2, pid)
-assert jax.process_count() == 2
+multihost.initialize("localhost:" + port, nproc, pid)
+assert jax.process_count() == nproc
 import numpy as np
 rng = np.random.default_rng(7)
-data = rng.integers(0, 5, 3 * 65536 + 1234, dtype=np.uint8).tobytes()
+data = rng.integers(0, 5, data_bytes, dtype=np.uint8).tobytes()
 frame = multihost.compress_frame_multihost(data, 1 << 16)
 hc_frame = multihost.compress_frame_multihost(data[:3000], 1 << 16, level=9)
 with open(out_path, "wb") as f:
@@ -146,13 +148,18 @@ with open(out_path, "wb") as f:
 """
 
 
-def dryrun_multihost(port: int = 12377, timeout: float = 300.0):
-    """Validate the real multi-process DCN path: spawn two local processes
-    on the CPU backend, run ``compress_frame_multihost`` end-to-end through
-    the allgather exchange (fast-scan on the full input, HC9 on a small
-    slice), and require both processes to produce the same byte-exact
-    frames. Returns ``(frame, hc_frame)`` for verification against the
-    host writers.
+def dryrun_multihost(port: int = 12377, timeout: float = 300.0,
+                     nproc: int = 2, data_bytes: int = 3 * 65536 + 1234):
+    """Validate the real multi-process DCN path: spawn ``nproc`` local
+    processes on the CPU backend, run ``compress_frame_multihost``
+    end-to-end through the allgather exchange (fast-scan on the full input,
+    HC9 on a small slice), and require every process to produce the same
+    byte-exact frames. Returns ``(frame, hc_frame)`` for verification
+    against the host writers.
+
+    At ``nproc=4`` with a block count not divisible by 4 this exercises
+    uneven and empty ``process_block_range`` shards plus 4-way ordered
+    reassembly (VERDICT r3 #8).
     """
     import os
     import pathlib
@@ -165,11 +172,12 @@ def dryrun_multihost(port: int = 12377, timeout: float = 300.0):
     env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
     with tempfile.TemporaryDirectory() as td:
         procs = []
-        outs = [str(pathlib.Path(td) / f"frame_{p}.bin") for p in (0, 1)]
-        for p in (0, 1):
+        outs = [str(pathlib.Path(td) / f"frame_{p}.bin")
+                for p in range(nproc)]
+        for p in range(nproc):
             procs.append(subprocess.Popen(
-                [sys.executable, "-c", _DRYRUN_WORKER, str(p), str(port),
-                 outs[p]],
+                [sys.executable, "-c", _DRYRUN_WORKER, str(p), str(nproc),
+                 str(port), str(data_bytes), outs[p]],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 env=env))
         for pr in procs:
@@ -177,7 +185,9 @@ def dryrun_multihost(port: int = 12377, timeout: float = 300.0):
             if pr.returncode != 0:
                 raise RuntimeError(f"dryrun_multihost worker failed:\n{err}")
         frames = [pathlib.Path(o).read_bytes() for o in outs]
-        if frames[0] != frames[1]:
-            raise RuntimeError("multihost frames differ between processes")
+        for p in range(1, nproc):
+            if frames[p] != frames[0]:
+                raise RuntimeError(
+                    f"multihost frames differ: process {p} vs 0")
         n = int.from_bytes(frames[0][:8], "little")
         return frames[0][8:8 + n], frames[0][8 + n:]

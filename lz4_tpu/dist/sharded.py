@@ -114,6 +114,19 @@ def _xxh32_sharded(data, lens, seed: int, mesh):
     return fn(data, lens)
 
 
+@functools.partial(jax.jit, static_argnames=("seed", "mesh"))
+def _xxh64_sharded(data, lens, seed: int, mesh):
+    from ..kernels.xxhash_jax import xxh64_batch
+    fn = shard_map(
+        lambda d, l: xxh64_batch(d, l, seed),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return fn(data, lens)
+
+
 def pack_offsets(comp_lens):
     """Exclusive prefix sum of per-block compressed lengths.
 
@@ -181,6 +194,18 @@ def shard_xxh32(data, lens, seed: int = 0, mesh=None):
     data = jax.device_put(data, NamedSharding(mesh, P(BLOCK_AXIS, None)))
     lens = jax.device_put(lens, NamedSharding(mesh, P(BLOCK_AXIS)))
     return _xxh32_sharded(data, lens, seed, mesh)
+
+
+def shard_xxh64(data, lens, seed: int = 0, mesh=None):
+    """Sharded batched xxh64 (uint8[N, L] + lengths -> (hi, lo) uint32[N]).
+
+    64-bit lanes travel as (hi, lo) uint32 pairs (TPUs have no native
+    int64); combine host-side with ``(int(hi) << 32) | int(lo)``.
+    """
+    mesh = mesh or block_mesh()
+    data = jax.device_put(data, NamedSharding(mesh, P(BLOCK_AXIS, None)))
+    lens = jax.device_put(lens, NamedSharding(mesh, P(BLOCK_AXIS)))
+    return _xxh64_sharded(data, lens, seed, mesh)
 
 
 def split_frame_blocks(data: bytes, block_size: int) -> list[bytes]:

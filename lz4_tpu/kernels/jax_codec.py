@@ -17,7 +17,7 @@ malformed input / overflow is reported through a per-block error code
 
 Algorithm semantics (hash probing, skip acceleration, emission order, bound
 checks) match the reference codecs exactly — compressed output is
-byte-identical to the safe/native tiers (asserted in tests/test_jax_codec.py).
+byte-identical to the safe/native tiers (asserted in tests/test_jax_kernels.py).
 Reference: ``src/build/source_templates/compress.template:16-261``,
 ``decompress.template:17-128``.
 """

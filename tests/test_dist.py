@@ -171,3 +171,44 @@ def test_device_packed_frame_incompressible_blocks(mesh, rng):
         data, block_size=BlockSize.SIZE_64KB,
         features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM))
     assert got == expect
+
+
+def test_shard_xxh64_matches_reference(mesh, rng):
+    from lz4_tpu.core.xxhash_ref import xxh64
+    from lz4_tpu.dist.sharded import shard_xxh64
+
+    seed = 0x0123456789ABCDEF
+    data = np.frombuffer(random_bytes(rng, 16 * 96, 256),
+                         np.uint8).reshape(16, 96)
+    lens = np.array([96, 95, 64, 33, 32, 31, 8, 7, 4, 3, 1, 0,
+                     96, 50, 17, 96], np.int32)
+    hi, lo = shard_xxh64(data, lens, seed, mesh)
+    got = [(int(h) << 32) | int(l) for h, l in
+           zip(np.asarray(hi), np.asarray(lo))]
+    expect = [xxh64(data[i].tobytes(), 0, int(lens[i]), seed)
+              for i in range(16)]
+    assert got == expect
+
+
+@pytest.mark.slow
+def test_multihost_four_processes_uneven_shards_byte_exact():
+    """Real 4-process DCN run with 5 blocks (not divisible by 4): the
+    contiguous assignment gives shards [0,2),[2,4),[4,5),[5,5) — uneven AND
+    one empty — and 4-way ordered reassembly must still produce, on every
+    process, the byte-exact frame the host one-shot writer produces
+    (VERDICT r3 #8)."""
+    from lz4_tpu.dist.multihost import dryrun_multihost
+    from lz4_tpu.formats.frame import compress_frame, FrameFlag, BlockSize
+
+    n_bytes = 4 * 65536 + 1234  # 5 frame blocks at 64KB
+    frame, hc_frame = dryrun_multihost(port=12397, nproc=4,
+                                       data_bytes=n_bytes)
+
+    rng_np = np.random.default_rng(7)
+    data = rng_np.integers(0, 5, n_bytes, dtype=np.uint8).tobytes()
+    expect = compress_frame(
+        data, block_size=BlockSize.SIZE_64KB,
+        features=(FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM))
+    assert frame == expect
+    assert decompress_frame(frame) == data
+    assert len(hc_frame) > 0 and decompress_frame(hc_frame) == data[:3000]
