@@ -87,6 +87,33 @@ class FastCompressor(Lz4Compressor):
         return n
 
 
+class TurboCompressor(Lz4Compressor):
+    """Opt-in modern-heuristic fast compressor (native tier only).
+
+    Valid LZ4 block output, decodable by every tier, but NOT byte-identical
+    to the reference algorithm on inputs > 64KB: the general path uses a
+    5-byte-hash match finder (``tpulz4.cpp compress_turbo_general``) that
+    compresses smaller AND faster than the reference heuristic — the same
+    freedom the reference's own JNI tier takes by calling modern
+    ``LZ4_compress_default`` (``net_jpountz_lz4_LZ4JNI.c:75``), whose bytes
+    also differ from its Java tiers. Inputs < 64KB route to the identical
+    64k path (byte-equal to ``fast_compressor()``). Measured pareto vs
+    liblz4 1.9.4 in docs/PERF.md.
+    """
+
+    def compress(self, src, src_off, src_len, dest, dest_off, max_dest_len):
+        _check_range(src, src_off, src_len)
+        _check_range(dest, dest_off, max_dest_len)
+        s_addr, s_keep = _base_addr(src)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_compress_turbo(
+            _ptr(s_addr, src_off), src_len, _ptr(d_addr, dest_off), max_dest_len)
+        del s_keep, d_keep
+        if n < 0:
+            _raise_error(n, "compress_turbo")
+        return n
+
+
 class HighCompressor(Lz4Compressor):
     def __init__(self, level: int = DEFAULT_COMPRESSION_LEVEL):
         self.level = level
@@ -137,13 +164,16 @@ class SafeDecompressor(Lz4SafeDecompressor):
         return n
 
 
-def compress_fast_packed(src, block_size, n_threads=None, dest=None):
+def compress_fast_packed(src, block_size, n_threads=None, dest=None,
+                         turbo=False):
     """Compress a contiguous buffer split into fixed-size blocks, zero-copy.
 
     The throughput entry point: one ctypes call, no per-block Python objects.
     The last block may be short. Returns ``(comp, offsets, lens)`` where
     ``comp`` is a packed bytearray with each block's output at
     ``offsets[i] : offsets[i] + lens[i]`` (stride = maxCompressedLength).
+    ``turbo=True`` opts in to the modern-heuristic compressor (see
+    :class:`TurboCompressor`) — only differs for blocks > 64KB.
     """
     import os
     import numpy as np
@@ -166,7 +196,9 @@ def compress_fast_packed(src, block_size, n_threads=None, dest=None):
     d_addr, d_keep = _wbase_addr(dest)
     _i64p = ctypes.POINTER(ctypes.c_int64)
     _i32p = ctypes.POINTER(ctypes.c_int32)
-    _lib.tpulz4_compress_fast_batch(
+    batch_fn = (_lib.tpulz4_compress_turbo_batch if turbo
+                else _lib.tpulz4_compress_fast_batch)
+    batch_fn(
         _ptr(s_addr, 0), src_offsets.ctypes.data_as(_i64p),
         src_lens.ctypes.data_as(_i32p), _ptr(d_addr, 0),
         dest_offsets.ctypes.data_as(_i64p), cap,
@@ -474,9 +506,11 @@ def compress_frame_packed(data, block_size_id: int = 7, flags: int = 0,
                           level: int = 0, n_threads=None) -> bytes:
     """One native call: block-split, compress (threaded), assemble frame.
 
-    ``level`` 0 = fast scan, 1..17 = HC. ``flags`` is a bitmask of
+    ``level`` 0 = fast scan, 1..17 = HC, -1 = opt-in turbo heuristic (valid
+    frame, not byte-identical to the reference algorithm for blocks > 64KB;
+    see :class:`TurboCompressor`). ``flags`` is a bitmask of
     F_CONTENT_CHECKSUM / F_BLOCK_CHECKSUM / F_CONTENT_SIZE. Byte-identical
-    to the Python frame writer with the same options.
+    to the Python frame writer with the same options (levels >= 0).
     """
     import os
     n_threads = n_threads or (os.cpu_count() or 1)

@@ -39,6 +39,13 @@ def load():
 
         lib.tpulz4_compress_fast.restype = ctypes.c_int
         lib.tpulz4_compress_fast.argtypes = [_c_u8p, ctypes.c_int, _c_u8p, ctypes.c_int]
+        lib.tpulz4_compress_turbo.restype = ctypes.c_int
+        lib.tpulz4_compress_turbo.argtypes = [_c_u8p, ctypes.c_int, _c_u8p,
+                                              ctypes.c_int]
+        lib.tpulz4_compress_turbo_probe.restype = ctypes.c_int
+        lib.tpulz4_compress_turbo_probe.argtypes = [_c_u8p, ctypes.c_int,
+                                                    _c_u8p, ctypes.c_int,
+                                                    ctypes.c_int]
         lib.tpulz4_compress_hc.restype = ctypes.c_int
         lib.tpulz4_compress_hc.argtypes = [_c_u8p, ctypes.c_int, _c_u8p, ctypes.c_int,
                                            ctypes.c_int]
@@ -75,6 +82,9 @@ def load():
         _i64p = ctypes.POINTER(ctypes.c_int64)
         _i32p = ctypes.POINTER(ctypes.c_int32)
         lib.tpulz4_compress_fast_batch.argtypes = [
+            _c_u8p, _i64p, _i32p, _c_u8p, _i64p, ctypes.c_int32,
+            _i32p, ctypes.c_int32, ctypes.c_int32]
+        lib.tpulz4_compress_turbo_batch.argtypes = [
             _c_u8p, _i64p, _i32p, _c_u8p, _i64p, ctypes.c_int32,
             _i32p, ctypes.c_int32, ctypes.c_int32]
         lib.tpulz4_compress_hc_batch.argtypes = [

@@ -12,6 +12,9 @@
 // Error convention: negative return values, see TPULZ4_E* below.
 
 #include <atomic>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -120,15 +123,49 @@ static inline void wild_copy16(uint8_t* dst, const uint8_t* src, int len) {
 }
 
 // pointer helpers shared by the two compressors
+inline uint16_t read16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
 inline int common_bytes_p(const uint8_t* a, const uint8_t* b,
                           const uint8_t* b_limit) {
   int count = 0;
+  // typical extensions are short (text ~0-16 B): keep the first two strides
+  // scalar so the common case pays no vector-entry branch
+  while (b + count + 8 <= b_limit) {
+    uint64_t x = read64(a + count) ^ read64(b + count);
+    if (x) return count + (__builtin_ctzll(x) >> 3);
+    count += 8;
+    if (count >= 16) break;
+  }
+#if defined(__AVX2__)
+  // long-match extension at 32 B/iter: unlike the hash stripes (a serial
+  // dependency chain where SIMD lost to scalar), the compare stream is
+  // independent loads — pure throughput, measured ~1.4x on run-heavy data
+  if (count == 16) {
+    while (b + count + 32 <= b_limit) {
+      __m256i va = _mm256_loadu_si256((const __m256i*)(a + count));
+      __m256i vb = _mm256_loadu_si256((const __m256i*)(b + count));
+      uint32_t eq = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(va, vb));
+      if (eq != 0xFFFFFFFFu) return count + __builtin_ctz(~eq);
+      count += 32;
+    }
+  }
+#endif
   while (b + count + 8 <= b_limit) {
     uint64_t x = read64(a + count) ^ read64(b + count);
     if (x) return count + (__builtin_ctzll(x) >> 3);
     count += 8;
   }
-  while (b + count < b_limit && a[count] == b[count]) ++count;
+  // exact 4/2/1 tail (same longest-common-prefix as a byte loop, fewer
+  // dependent iterations; all reads stay below b_limit + LAST_LITERALS)
+  if (b + count + 4 <= b_limit && read32(a + count) == read32(b + count))
+    count += 4;
+  if (b + count + 2 <= b_limit && read16(a + count) == read16(b + count))
+    count += 2;
+  if (b + count < b_limit && a[count] == b[count]) ++count;
   return count;
 }
 
@@ -360,6 +397,160 @@ TPULZ4_API int tpulz4_compress_fast(const uint8_t* src, int src_len,
   if (src_len < 0 || max_dest_len < 0) return TPULZ4_E_PARAM;
   if (src_len < LZ4_64K_LIMIT) return compress64k(src, src_len, dest, max_dest_len);
   return compress_general(src, src_len, dest, max_dest_len);
+}
+
+// ---------------------------------------------------------------------------
+// turbo fast-scan (opt-in): modern match heuristic on the >64KB general
+// path. Output is valid LZ4 block format but NOT byte-identical to the
+// reference Java algorithm — the same freedom the reference's own fastest
+// tier takes: its JNI path calls modern LZ4_compress_default
+// (net_jpountz_lz4_LZ4JNI.c:75), which does not reproduce the Java tiers'
+// bytes either (README.md:33-36). Differences from compress_general:
+//  - candidate hashing covers 5 bytes (Fibonacci multiply-shift on the low
+//    40 bits of one 64-bit read) instead of 4: on a 64KB-window general
+//    path, a 4-byte hash keyed on frequent n-grams keeps probing and
+//    replacing the same slots; 5 bytes cuts the false-probe rate and biases
+//    the table toward longer matches
+//  - a wider table (template param, default TURBO_HASH_LOG): the reference
+//    inherits lz4's 16KB design point; a 13-bit/32KB table is still
+//    L1/L2-resident on current hosts and halves slot collisions
+//  - 16-byte wild literal strides (the reserve check already bounds slack)
+// The <64KB path stays compress64k: it is already at per-core parity and
+// byte-identical, so turbo only diverges where the heuristic gap is.
+static constexpr int TURBO_HASH_LOG = 13;
+
+template <int LOG>
+inline uint32_t hash_turbo(uint64_t v) {
+  // low 5 bytes of a little-endian read, golden-ratio multiply, top bits
+  return (uint32_t)(((v << 24) * 0x9E3779B97F4A7C15ull) >> (64 - LOG));
+}
+
+template <int LOG>
+static int compress_turbo_general(const uint8_t* src, int src_len,
+                                  uint8_t* dest, int dest_cap) {
+  const uint8_t* const send = src + src_len;
+  const uint8_t* const slimit = send - LAST_LITERALS;
+  const uint8_t* const mflimit = send - MF_LIMIT;
+  const uint8_t* anchor = src;
+  const uint8_t* ip = src + 1;
+  uint8_t* op = dest;
+  uint8_t* const oend = dest + dest_cap;
+
+  std::vector<int32_t> table(1 << LOG, 0);  // init to anchor == 0
+
+  for (;;) {
+    const uint8_t* fwd = ip;
+    int step = 1;
+    int search_match_nb = 1 << SKIP_STRENGTH;
+    const uint8_t* ref;
+    int back;
+    uint32_t h = hash_turbo<LOG>(read64(fwd));
+    do {
+      ip = fwd;
+      fwd += step;
+      step = search_match_nb++ >> SKIP_STRENGTH;
+      if (fwd > mflimit) goto last;
+      uint32_t next_h = hash_turbo<LOG>(read64(fwd));
+      ref = src + table[h];
+      back = (int)(ip - ref);
+      table[h] = (int32_t)(ip - src);
+      h = next_h;
+    } while (back >= MAX_DISTANCE || read32(ref) != read32(ip));
+
+    {
+      while (ip > anchor && ref > src && ip[-1] == ref[-1]) { --ip; --ref; }
+
+      int run_len = (int)(ip - anchor);
+      uint8_t* token = op++;
+      if (op + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > oend)
+        return TPULZ4_E_DEST_TOO_SMALL;
+      if (run_len >= RUN_MASK) {
+        *token = RUN_MASK << ML_BITS;
+        op = write_len_p(run_len - RUN_MASK, op);
+      } else {
+        *token = (uint8_t)(run_len << ML_BITS);
+      }
+      // 16-byte wild strides overshoot by < 16 bytes; the +24 reserve keeps
+      // the same safety margin the 8-byte paths use (+16 over a +7 need)
+      if (op + run_len + 24 <= oend) {
+        wild_copy16(op, anchor, run_len > 0 ? run_len : 1);
+      } else if (op + run_len + 16 <= oend) {
+        wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
+      } else {
+        std::memcpy(op, anchor, run_len);
+      }
+      op += run_len;
+
+      for (;;) {
+        op[0] = (uint8_t)back;
+        op[1] = (uint8_t)(back >> 8);
+        op += 2;
+
+        ip += MIN_MATCH;
+        int match_len = common_bytes_p(ref + MIN_MATCH, ip, slimit);
+        if (op + (1 + LAST_LITERALS) + (match_len >> 8) > oend)
+          return TPULZ4_E_DEST_TOO_SMALL;
+        ip += match_len;
+
+        if (match_len >= ML_MASK) {
+          *token |= ML_MASK;
+          op = write_len_p(match_len - ML_MASK, op);
+        } else {
+          *token |= (uint8_t)match_len;
+        }
+
+        if (ip > mflimit) { anchor = ip; goto last; }
+
+        table[hash_turbo<LOG>(read64(ip - 2))] = (int32_t)(ip - 2 - src);
+        uint32_t h2 = hash_turbo<LOG>(read64(ip));
+        ref = src + table[h2];
+        table[h2] = (int32_t)(ip - src);
+        back = (int)(ip - ref);
+        if (back >= MAX_DISTANCE || read32(ref) != read32(ip)) break;
+
+        token = op++;
+        *token = 0;
+      }
+      anchor = ip++;
+    }
+  }
+last:
+  {
+    int run_len = (int)(send - anchor);
+    if (op + run_len + 1 + (run_len + 255 - RUN_MASK) / 255 > oend)
+      return TPULZ4_E_DEST_TOO_SMALL;
+    if (run_len >= RUN_MASK) {
+      *op++ = RUN_MASK << ML_BITS;
+      op = write_len_p(run_len - RUN_MASK, op);
+    } else {
+      *op++ = (uint8_t)(run_len << ML_BITS);
+    }
+    std::memcpy(op, anchor, run_len);
+    op += run_len;
+  }
+  return (int)(op - dest);
+}
+
+TPULZ4_API int tpulz4_compress_turbo(const uint8_t* src, int src_len,
+                                     uint8_t* dest, int max_dest_len) {
+  if (src_len < 0 || max_dest_len < 0) return TPULZ4_E_PARAM;
+  if (src_len < LZ4_64K_LIMIT) return compress64k(src, src_len, dest, max_dest_len);
+  return compress_turbo_general<TURBO_HASH_LOG>(src, src_len, dest, max_dest_len);
+}
+
+// experiment hook: turbo at an explicit table size (A/B table-geometry
+// sweeps in tools/; not part of the public surface)
+TPULZ4_API int tpulz4_compress_turbo_probe(const uint8_t* src, int src_len,
+                                           uint8_t* dest, int max_dest_len,
+                                           int log) {
+  if (src_len < 0 || max_dest_len < 0) return TPULZ4_E_PARAM;
+  switch (log) {
+    case 12: return compress_turbo_general<12>(src, src_len, dest, max_dest_len);
+    case 13: return compress_turbo_general<13>(src, src_len, dest, max_dest_len);
+    case 14: return compress_turbo_general<14>(src, src_len, dest, max_dest_len);
+    case 15: return compress_turbo_general<15>(src, src_len, dest, max_dest_len);
+    default: return TPULZ4_E_PARAM;
+  }
 }
 
 TPULZ4_API int tpulz4_max_compressed_length(int length) {
@@ -1273,6 +1464,17 @@ TPULZ4_API void tpulz4_compress_fast_batch(
   });
 }
 
+TPULZ4_API void tpulz4_compress_turbo_batch(
+    const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
+    uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
+    int32_t* out_lens, int32_t n_blocks, int32_t n_threads) {
+  parallel_for_dynamic(n_blocks, n_threads, [&](int i) {
+    out_lens[i] = tpulz4_compress_turbo(src + src_offsets[i], src_lens[i],
+                                        dest + dest_offsets[i],
+                                        max_dest_len_each);
+  });
+}
+
 TPULZ4_API void tpulz4_compress_hc_batch(
     const uint8_t* src, const int64_t* src_offsets, const int32_t* src_lens,
     uint8_t* dest, const int64_t* dest_offsets, int32_t max_dest_len_each,
@@ -1611,8 +1813,9 @@ TPULZ4_API int64_t tpulz4_frame_compress(
     int64_t off = (int64_t)i * bs;
     int len = (int)(raw_len - off < bs ? raw_len - off : bs);
     uint8_t* out = scratch.get() + (size_t)i * cap;
-    clens[i] = level <= 0 ? tpulz4_compress_fast(raw + off, len, out, cap)
-                          : tpulz4_compress_hc(raw + off, len, out, cap, level);
+    clens[i] = level == -1 ? tpulz4_compress_turbo(raw + off, len, out, cap)
+               : level <= 0 ? tpulz4_compress_fast(raw + off, len, out, cap)
+                            : tpulz4_compress_hc(raw + off, len, out, cap, level);
     if (clens[i] < 0) {
       had_error.store(true, std::memory_order_relaxed);
       done[i].store(2, std::memory_order_release);

@@ -28,6 +28,7 @@ lib = ctypes.CDLL(LIB_PATH)
 lib.tpulz4_decompress_safe.restype = ctypes.c_int
 lib.tpulz4_decompress_fast.restype = ctypes.c_int
 lib.tpulz4_compress_fast.restype = ctypes.c_int
+lib.tpulz4_compress_turbo.restype = ctypes.c_int
 lib.tpulz4_parse_sequences.restype = ctypes.c_int
 lib.tpulz4_frame_decompress.restype = ctypes.c_int64
 lib.tpulz4_blockstream_decompress.restype = ctypes.c_int64
@@ -97,11 +98,11 @@ libc.malloc.restype = ctypes.c_void_p
 libc.malloc.argtypes = [ctypes.c_size_t]
 libc.free.argtypes = [ctypes.c_void_p]
 
-def compress_tight(data: bytes, cap: int):
+def compress_tight(data: bytes, cap: int, fn=None):
     p = libc.malloc(max(cap, 1))
     try:
-        lib.tpulz4_compress_fast(buf(data), len(data),
-                                 ctypes.cast(p, u8p), cap)
+        (fn or lib.tpulz4_compress_fast)(buf(data), len(data),
+                                         ctypes.cast(p, u8p), cap)
     finally:
         libc.free(p)
 
@@ -111,6 +112,14 @@ _dir = bytes(rng.randrange(256) for _ in range(6000)) + b"ab" * 64
 _need = lib.tpulz4_compress_fast(buf(_dir), len(_dir), cdest, 700000)
 for cap in range(max(1, _need - 24), _need + 8):
     compress_tight(_dir, cap)
+
+# same sweep through the turbo general path (>64KB input, 16-byte wild
+# literal strides): caps walked through its exact emission boundary
+_dirt = bytes(rng.randrange(256) for _ in range(68000)) + b"ab" * 64
+_needt = lib.tpulz4_compress_turbo(buf(_dirt), len(_dirt), cdest, 700000)
+assert _needt > 0
+for cap in range(max(1, _needt - 40), _needt + 8):
+    compress_tight(_dirt, cap, lib.tpulz4_compress_turbo)
 
 t0 = time.time()
 for it in range(N_ITER):

@@ -141,6 +141,15 @@ for it in range(N_ITER):
         assert hc_n == bytes(compress_hc_alloc(data, lvl)), ("hc mismatch", it, lvl)
     # 2: upstream decodes ours
     assert upstream_decode(ours, len(data)) == data, ("upstream rejects ours", it)
+    # 2b: turbo (opt-in heuristic, non-identical bytes): every decoder —
+    # upstream, our native, our safe oracle — must accept and agree
+    turbo = bytes(native.turbo_compressor().compress_alloc(data))
+    assert upstream_decode(turbo, len(data)) == data, \
+        ("upstream rejects turbo", it)
+    assert our_decode(turbo, len(data)) == data, ("we reject turbo", it)
+    if len(data) <= 4096:
+        assert safe_decode(turbo, len(data)) == data, \
+            ("safe tier rejects turbo", it)
     # 3: we decode upstream's
     cap = max_compressed_length(len(data))
     dst = ctypes.create_string_buffer(max(cap, 1))
