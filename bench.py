@@ -279,6 +279,153 @@ def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
     return out
 
 
+def _fast_ratio_vs_upstream(corpus: bytes):
+    """Fast-path compressed-size evidence, measured live (VERDICT r3 #5):
+
+    - byte parity with the reference algorithm (the lz4-java fast-scan) is
+      re-asserted against the pure-Python oracle on a 128 KB sample ->
+      ratio_vs_reference is a measured 1.0, not a hard-coded claim;
+    - total compressed bytes vs system liblz4 1.9.4's LZ4_compress_default
+      over the same 64KB blocking is reported as a ratio (modern lz4.c uses
+      a different match heuristic, so byte equality is not expected; the
+      driver bar is size <= reference at the same level).
+    """
+    import ctypes
+
+    from lz4_tpu.api.factory import Lz4Factory
+    from lz4_tpu.core.lz4_block_ref import compress_fast_alloc
+
+    out = {}
+    fc = Lz4Factory.native_instance().fast_compressor()
+    sample = corpus[:128 << 10]
+    ours_small = b"".join(
+        bytes(fc.compress_alloc(sample[o:o + BLOCK]))
+        for o in range(0, len(sample), BLOCK))
+    oracle_small = b"".join(
+        bytes(compress_fast_alloc(sample[o:o + BLOCK]))
+        for o in range(0, len(sample), BLOCK))
+    assert ours_small == oracle_small, \
+        "fast-scan output diverged from the reference oracle"
+    out["ratio_vs_reference"] = 1.0  # measured byte-identical above
+
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_default.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        bound = lib.LZ4_compressBound(BLOCK)
+        buf = ctypes.create_string_buffer(bound)
+        data = corpus[:8 << 20]
+        lib_total = 0
+        for o in range(0, len(data), BLOCK):
+            blk = data[o:o + BLOCK]
+            n = lib.LZ4_compress_default(blk, buf, len(blk), bound)
+            assert n > 0
+            lib_total += n
+        ours_total = sum(
+            len(fc.compress_alloc(data[o:o + BLOCK]))
+            for o in range(0, len(data), BLOCK))
+        out["fast_bytes_vs_liblz4"] = round(ours_total / lib_total, 4)
+
+        # the >64KB general path uses a different skip heuristic than
+        # modern lz4.c — measure that too, at 4MB blocks
+        big = 4 << 20
+        bound4 = lib.LZ4_compressBound(big)
+        buf4 = ctypes.create_string_buffer(bound4)
+        lib4 = lib.LZ4_compress_default(data[:big], buf4, big, bound4)
+        ours4 = len(fc.compress_alloc(data[:big]))
+        out["fast4mb_bytes_vs_liblz4"] = round(ours4 / lib4, 4)
+    except OSError:
+        pass
+    return out
+
+
+def bench_turbo(corpus: bytes):
+    """Opt-in turbo compress mode (VERDICT r3 #2), measured both ways:
+
+    - paired per-core A/B vs liblz4 LZ4_compress_default on 4MB blocks
+      (median of interleaved rep ratios — the only protocol that resolves
+      single-digit-percent differences under this host's noise), plus the
+      bytes ratio;
+    - framework-level same-host comparison: our packed turbo path at the
+      host's cores vs liblz4's fastest offering (single-threaded
+      LZ4_compress_default — the library has no batch/threaded block API).
+    """
+    import ctypes
+    import statistics
+
+    from lz4_tpu.api import native_instances as ni
+
+    out = {}
+    data = corpus[:32 << 20]
+    BIG = 4 << 20
+
+    # packed turbo at host cores (the shipped data plane)
+    comp, offs, lens = ni.compress_fast_packed(data, BIG, turbo=True)  # warm
+    cbuf = bytearray(len(comp))
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        comp, offs, lens = ni.compress_fast_packed(data, BIG, dest=cbuf,
+                                                   turbo=True)
+        times.append(time.time() - t0)
+    out["turbo4mb_compress_gbps"] = round(len(data) / min(times) / 1e9, 3)
+    out["turbo4mb_ratio"] = round(int(lens.sum()) / len(data), 4)
+    dec, dlens = ni.decompress_safe_packed(comp, offs, lens, BIG)
+    assert bytes(dec[:len(data)]) == data, "turbo roundtrip mismatch"
+
+    try:
+        lib = ctypes.CDLL("liblz4.so.1")
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_default.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        bound = lib.LZ4_compressBound(BIG)
+        buf = ctypes.create_string_buffer(bound)
+
+        # same-host framework comparison: liblz4's fastest (1 thread)
+        blocks = [data[o:o + BIG] for o in range(0, len(data), BIG)]
+        lib_times, lib_bytes = [], 0
+        for _ in range(3):
+            t0 = time.time()
+            tot = 0
+            for b in blocks:
+                tot += lib.LZ4_compress_default(b, buf, len(b), bound)
+            lib_times.append(time.time() - t0)
+            lib_bytes = tot
+        out["liblz4_4mb_compress_gbps"] = round(
+            len(data) / min(lib_times) / 1e9, 3)
+        out["turbo_vs_liblz4_same_host"] = round(
+            out["turbo4mb_compress_gbps"] / out["liblz4_4mb_compress_gbps"],
+            3)
+        out["turbo4mb_bytes_vs_liblz4"] = round(
+            int(lens.sum()) / lib_bytes, 4)
+
+        # paired per-core A/B, interleaved, median of rep ratios
+        from lz4_tpu.native import bindings
+        nlib = bindings.load()
+        one = blocks[0]
+        dest1 = bytearray(bound)
+        d_addr, d_keep = ni._wbase_addr(dest1)
+        s_addr, s_keep = ni._base_addr(one)
+        ratios = []
+        for _ in range(11):
+            t0 = time.perf_counter()
+            nlib.tpulz4_compress_turbo(ni._ptr(s_addr, 0), len(one),
+                                       ni._ptr(d_addr, 0), bound)
+            t1 = time.perf_counter()
+            lib.LZ4_compress_default(one, buf, len(one), bound)
+            t2 = time.perf_counter()
+            ratios.append((t2 - t1) / (t1 - t0))
+        del s_keep, d_keep
+        out["turbo_speed_vs_liblz4_1core"] = round(
+            statistics.median(ratios), 3)
+    except OSError:
+        pass
+    return out
+
+
 def bench_tpu_segment_decode(corpus: bytes, size: int = 8 << 20):
     """On-device segment-executor decode GB/s (parse on host, copy on TPU)."""
     try:
@@ -425,6 +572,14 @@ def main():
         formats = bench_native_formats(corpus)
     except Exception as e:
         formats = {"formats": f"unavailable: {type(e).__name__}: {e}"}
+    try:
+        fast_ratio = _fast_ratio_vs_upstream(corpus)
+    except Exception as e:
+        fast_ratio = {"ratio_vs_reference": f"unavailable: {type(e).__name__}"}
+    try:
+        turbo = bench_turbo(corpus)
+    except Exception as e:
+        turbo = {"turbo4mb_compress_gbps": f"unavailable: {type(e).__name__}"}
     scaling = bench_scaling_surrogate()
     multihost = bench_multihost_scaling()
     tpu_seg = bench_tpu_segment_decode(corpus)
@@ -445,10 +600,15 @@ def main():
             "compression_ratio": round(native["ratio"], 4),
             **({k: native[k] for k in ("tier", "native_error")
                 if k in native}),
-            "ratio_vs_reference": 1.0,  # byte-identical output by construction
+            **fast_ratio,
+            **turbo,
             **formats,
             **scaling,
             **multihost,
+            # headline scaling number = the true 2-process DCN measurement
+            # (dist/multihost_scaling.py); the virtual-device surrogate's
+            # raw and control-calibrated ratios are diagnostics alongside
+            "scaling_headline": multihost.get("multihost_efficiency_2proc"),
             "tpu_segment_decode_gbps": (round(tpu_seg, 4)
                                         if isinstance(tpu_seg, float)
                                         else tpu_seg),

@@ -164,11 +164,13 @@ def measure(total_blocks: int = 32, block_len: int = 4096,
         out["core_normalized_efficiency"][str(w)] = round(
             eff * w / min(w, n_cores), 3)
     out["control_efficiency"] = _control_times(widths, trials)
-    # capped at 1.0: above-control ratios only mean the codec's longer
-    # shards overlap better than the control does, not super-linear scaling
+    # uncapped ratio-of-ratios: values above 1.0 only mean the codec's
+    # longer shards overlap better than the control does, not super-linear
+    # scaling. This is a diagnostic; the headline scaling number is the
+    # true 2-process DCN measurement (dist/multihost_scaling.py).
     out["calibrated_efficiency"] = {
-        w: min(1.0, round(out["shard_parallel_efficiency"][w]
-                          / out["control_efficiency"][w], 3))
+        w: round(out["shard_parallel_efficiency"][w]
+                 / out["control_efficiency"][w], 3)
         for w in out["shard_parallel_efficiency"]
         if out["control_efficiency"].get(w)}
     hw = str(min(n_cores, max(widths)))
