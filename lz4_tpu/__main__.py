@@ -30,12 +30,17 @@ def _block_size(name: str):
 
 def cmd_compress(args):
     from .streams import compress_stream
+    level = args.level
+    if getattr(args, "turbo", False):
+        if level > 0:
+            raise SystemExit("--turbo and --level are mutually exclusive")
+        level = -1
     t0 = time.time()
     with open(args.input, "rb") as src, open(args.output, "wb") as dst:
         n = compress_stream(src, dst, block_size=args.block_size,
                             engine=args.engine,
                             content_checksum=not args.no_frame_crc,
-                            level=args.level)
+                            level=level)
     dt = time.time() - t0
     import os
     in_size = os.path.getsize(args.input)
@@ -111,9 +116,14 @@ def main(argv=None):
     c.add_argument("output")
     c.add_argument("-B", "--block-size", type=_block_size, default="64KB")
     c.add_argument("--engine", default="fastest",
-                   choices=["fastest", "native", "pallas", "sharded", "safe"])
+                   choices=["fastest", "native", "pallas", "sharded", "safe",
+                            "parallel"])
     c.add_argument("-l", "--level", type=int, default=0,
                    help="0 = fast scan (default); 1-17 = HC level")
+    c.add_argument("--turbo", action="store_true",
+                   help="opt-in modern-heuristic fast mode (native tier; "
+                        "valid frames, not byte-identical to the default "
+                        "algorithm for blocks > 64KB)")
     c.add_argument("--no-frame-crc", action="store_true",
                    help="omit the content checksum")
     c.set_defaults(fn=cmd_compress)

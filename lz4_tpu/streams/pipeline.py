@@ -60,7 +60,10 @@ def get_engine(name: str = "fastest", level: int = 0) -> BatchEngine:
 
     ``level`` 0 builds the fast-scan compressor; 1..17 builds the engine's
     own HC compressor at that level — every family exposes HC, matching
-    ``LZ4Factory.java:189-202``.
+    ``LZ4Factory.java:189-202``. ``level -1`` selects the opt-in turbo
+    heuristic on the native engine (see api.factory.turbo_compressor);
+    other engines fall back to their fast compressor, mirroring the
+    factory's graceful tier fallback.
     """
     import functools
     if name == "fastest":
@@ -70,9 +73,41 @@ def get_engine(name: str = "fastest", level: int = 0) -> BatchEngine:
             except Exception:
                 continue
         raise Lz4FrameError("no batch engine available")
-    suffix = f"-hc{level}" if level else ""
+    if level < 0 and name != "native":
+        level = 0  # turbo is a native-tier heuristic; others use fast scan
+    suffix = f"-hc{level}" if level > 0 else ("-turbo" if level < 0 else "")
+    if name == "parallel":
+        # device-parallel compressor (kernels/parallel_compress.py): valid
+        # non-identical output; decode rides the native engine
+        from ..api import native_instances as ni
+        from ..kernels import parallel_compress as pcomp
+
+        return BatchEngine(
+            "parallel",
+            pcomp.compress_blocks,
+            lambda blocks, out_max: ni.decompress_safe_batch(blocks, out_max),
+            decompress_packed=ni.decompress_safe_packed)
     if name == "native":
         from ..api import native_instances as ni
+        if level < 0:
+            comp_packed = functools.partial(ni.compress_fast_packed,
+                                            turbo=True)
+            turbo = None
+
+            def comp(blocks):
+                nonlocal turbo
+                if turbo is None:
+                    from ..api.factory import Lz4Factory
+                    turbo = Lz4Factory.native_instance().turbo_compressor()
+                return [turbo.compress_alloc(b) for b in blocks]
+
+            return BatchEngine(
+                "native-turbo",
+                comp,
+                lambda blocks, out_max: ni.decompress_safe_batch(blocks,
+                                                                 out_max),
+                compress_packed=comp_packed,
+                decompress_packed=ni.decompress_safe_packed)
         if level:
             comp_packed = functools.partial(ni.compress_hc_packed, level=level)
             hc = None

@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: XLA:CPU compiles of the heavier kernels (the
+# parallel compressor's sort/scan graph) intermittently take minutes under
+# this host's shared-vCPU contention; caching makes them one-time
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TPULZ4_JAX_CACHE", "/tmp/tpulz4_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import pathlib
 import random

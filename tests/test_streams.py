@@ -126,3 +126,22 @@ def test_get_engine_hc_names():
     assert eng.name == "safe-hc9"
     eng = get_engine("sharded", level=17)
     assert eng.name == "sharded-hc17"
+
+
+def test_turbo_engine_stream_roundtrip(tmp_path, rng):
+    """level=-1 routes the stream pipeline through the turbo compressor;
+    the frames stay standard and every reader decodes them."""
+    import io
+    pytest.importorskip("lz4_tpu.api.native_instances")
+    from lz4_tpu.streams import compress_stream, decompress_stream
+    from lz4_tpu.formats.frame import decompress_frame
+
+    data = random_bytes(rng, 200000, 8)
+    buf = io.BytesIO()
+    n = compress_stream(io.BytesIO(data), buf, engine="native", level=-1)
+    assert n == len(buf.getvalue())
+    assert decompress_frame(buf.getvalue()) == data
+    out = io.BytesIO()
+    buf.seek(0)
+    assert decompress_stream(buf, out) == len(data)
+    assert out.getvalue() == data
