@@ -156,11 +156,13 @@ def test_as_checksum_adapter_quirk():
 
 
 @pytest.mark.slow
-def test_streaming_hash_4gib_total_len_boundary():
-    """Cross the 2^32 total_len fold (XXHash32Test.java:144-166 hashes >8GB
-    continuously): 65 x 64MiB updates (4.0625 GiB) through the native
-    streaming state must equal the native one-shot over the same bytes
-    (tpulz4_xxh32 takes an int64 length) for both xxh32 and xxh64."""
+def test_streaming_hash_8gib_total_len_boundary():
+    """Cross BOTH total_len folds, 2^32 and 2^33 (XXHash32Test.java:144-166
+    hashes >8GB continuously): 136 x 64MiB updates (8.5 GiB) through the
+    native streaming state must equal (a) the native one-shot over the same
+    bytes (tpulz4_xxh32 takes an int64 length) and (b) a second streaming
+    pass fed odd-sized updates, so the 16/32-byte remainder buffer carries
+    nonzero fill across nearly every update — for both xxh32 and xxh64."""
     np = pytest.importorskip("numpy")
     try:
         from lz4_tpu.api.factory import XXHashFactory
@@ -169,10 +171,10 @@ def test_streaming_hash_4gib_total_len_boundary():
         pytest.skip("native tier unavailable")
 
     chunk_mib = 64
-    n_chunks = 65                         # 65 * 64 MiB = 4.0625 GiB > 2^32
+    n_chunks = 136                        # 136 * 64 MiB = 8.5 GiB > 2^33
     chunk_len = chunk_mib << 20
     total = n_chunks * chunk_len
-    assert total > (1 << 32)
+    assert total > (1 << 33)
 
     rng = np.random.default_rng(0xFEED)
     base = rng.integers(0, 256, chunk_len, dtype=np.uint8)
@@ -190,3 +192,18 @@ def test_streaming_hash_4gib_total_len_boundary():
     one64 = xf.hash64().hash(big, 0, total, 0)
     assert s32.get_value() == one32
     assert s64.get_value() == one64
+
+    # second pass: odd update sizes (prime stride) keep the remainder
+    # buffer non-empty at every boundary while total_len crosses 2^33
+    o32 = xf.new_streaming_hash32(0)
+    o64 = xf.new_streaming_hash64(0)
+    step = 33_554_467                     # prime, ~32 MiB
+    mv = memoryview(big)
+    pos = 0
+    while pos < total:
+        n = min(step, total - pos)
+        o32.update(mv, pos, n)
+        o64.update(mv, pos, n)
+        pos += n
+    assert o32.get_value() == one32
+    assert o64.get_value() == one64
