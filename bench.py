@@ -500,6 +500,15 @@ def bench_tpu_parallel_compress(corpus: bytes, block_len: int = 65536,
         out_lens_h = np.asarray(out_lens)
         assert (out_lens_h >= 0).all()
         ratio = int(out_lens_h.sum()) / len(data)
+        # reference fast-scan ratio on the SAME slice, so the relative
+        # ratio is apples-to-apples (the slice compresses differently
+        # than the whole corpus)
+        try:
+            from lz4_tpu.api import native_instances as ni
+            _, _, ref_lens = ni.compress_fast_packed(data, block_len)
+            ref_ratio = int(ref_lens.sum()) / len(data)
+        except Exception:
+            ref_ratio = None
 
         @functools.partial(jax.jit, static_argnames=("reps",))
         def many(arr, lens, reps):
@@ -530,9 +539,13 @@ def bench_tpu_parallel_compress(corpus: bytes, block_len: int = 65536,
         per_pass = (timed(r_hi) - timed(r_lo)) / (r_hi - r_lo)
         if per_pass <= 0:
             return None
-        return {"tpu_parallel_compress_gbps":
-                    round(len(data) / per_pass / 1e9, 4),
-                "tpu_parallel_compress_ratio": round(ratio, 4)}
+        out = {"tpu_parallel_compress_gbps":
+                   round(len(data) / per_pass / 1e9, 4),
+               "tpu_parallel_compress_ratio": round(ratio, 4)}
+        if ref_ratio:
+            out["tpu_parallel_bytes_vs_reference"] = round(
+                ratio / ref_ratio, 4)
+        return out
     except Exception as e:
         return {"tpu_parallel_compress_gbps":
                     f"unavailable: {type(e).__name__}: {e}"}
@@ -623,6 +636,8 @@ def bench_multihost_scaling():
         from lz4_tpu.dist import multihost_scaling
         data = multihost_scaling.measure()
         return {"multihost_efficiency_2proc": data["multihost_efficiency"],
+                "multihost_trial_efficiencies":
+                    data["trial_efficiencies"],
                 "multihost_times_s": {"2proc": data["t_multi_s"],
                                       "1proc_ref": data["t_ref_s"]}}
     except Exception as e:  # never break the bench line

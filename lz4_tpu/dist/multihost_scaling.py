@@ -54,7 +54,7 @@ blocks = [base[i].tobytes() for i in range(blocks_n)]
 run = lambda: multihost.compress_blocks_multihost(blocks)
 run()  # compile + warm (both the codec and the exchange)
 best = float("inf")
-for _ in range(2):
+for _ in range(5):
     t0 = time.perf_counter()
     out = run()
     best = min(best, time.perf_counter() - t0)
@@ -96,18 +96,35 @@ def _spawn(nproc: int, port: int, blocks_n: int, block_len: int,
 
 def measure(total_blocks: int = 32, block_len: int = 4096,
             nproc: int = 2, port: int = 12391,
-            timeout: float = 420.0) -> dict:
+            timeout: float = 420.0, trials: int = 3) -> dict:
     """Time the fixed workload at ``nproc`` DCN processes vs one pinned
-    process running one share (``total_blocks // nproc``) of it."""
-    t_multi = _spawn(nproc, port, total_blocks, block_len, timeout)
-    t_ref = _spawn(1, port + 1, total_blocks // nproc, block_len, timeout)
+    process running one share (``total_blocks // nproc``) of it.
+
+    Single multi/ref pairs swing ~±15% on this host's shared vCPUs (the
+    workload is ~1 s/worker and the statistic is a max over workers), so
+    each trial is one interleaved multi/ref pair and the reported
+    efficiency is the median over ``trials`` pairs; the per-trial values
+    are returned alongside.
+    """
+    import statistics
+
+    effs, multis, refs = [], [], []
+    for t in range(trials):
+        t_multi = _spawn(nproc, port + 2 * t, total_blocks, block_len,
+                         timeout)
+        t_ref = _spawn(1, port + 2 * t + 1, total_blocks // nproc,
+                       block_len, timeout)
+        multis.append(round(t_multi, 4))
+        refs.append(round(t_ref, 4))
+        effs.append(t_ref / t_multi)
     return {
         "total_blocks": total_blocks,
         "block_len": block_len,
         "processes": nproc,
-        "t_multi_s": round(t_multi, 4),
-        "t_ref_s": round(t_ref, 4),
-        "multihost_efficiency": round(t_ref / t_multi, 3),
+        "t_multi_s": statistics.median(multis),
+        "t_ref_s": statistics.median(refs),
+        "trial_efficiencies": [round(e, 3) for e in effs],
+        "multihost_efficiency": round(statistics.median(effs), 3),
     }
 
 

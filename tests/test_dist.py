@@ -94,8 +94,9 @@ def test_multihost_scaling_measures():
     from lz4_tpu.dist import multihost_scaling
 
     out = multihost_scaling.measure(total_blocks=4, block_len=512,
-                                    port=12491)
+                                    port=12491, trials=1)
     assert out["processes"] == 2
+    assert len(out["trial_efficiencies"]) == 1
     assert 0.1 < out["multihost_efficiency"] < 3.0
     assert out["t_multi_s"] > 0 and out["t_ref_s"] > 0
 
