@@ -227,6 +227,23 @@ def bench_native_formats(corpus: bytes):
     return out
 
 
+def _load_liblz4():
+    """System liblz4 1.9.4 with the signatures the A/B comparisons use
+    (one place — three benches share it). Raises OSError if absent."""
+    import ctypes
+
+    lib = ctypes.CDLL("liblz4.so.1")
+    lib.LZ4_compressBound.restype = ctypes.c_int
+    lib.LZ4_compress_default.restype = ctypes.c_int
+    lib.LZ4_compress_default.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.LZ4_compress_HC.restype = ctypes.c_int
+    lib.LZ4_compress_HC.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int]
+    return lib
+
+
 def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
     """HC parity evidence, measured live:
 
@@ -252,13 +269,8 @@ def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
     out["hc9_ratio_vs_reference"] = 1.0  # asserted byte-identical above
 
     try:
-        lib = ctypes.CDLL("liblz4.so.1")
+        lib = _load_liblz4()
         sample = data[:1 << 20]
-        lib.LZ4_compressBound.restype = ctypes.c_int
-        lib.LZ4_compress_HC.restype = ctypes.c_int
-        lib.LZ4_compress_HC.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
-                                        ctypes.c_int, ctypes.c_int,
-                                        ctypes.c_int]
         bound = lib.LZ4_compressBound(len(sample))
         buf = ctypes.create_string_buffer(bound)
         n = lib.LZ4_compress_HC(sample, buf, len(sample), bound, level)
@@ -309,11 +321,7 @@ def _fast_ratio_vs_upstream(corpus: bytes):
     out["ratio_vs_reference"] = 1.0  # measured byte-identical above
 
     try:
-        lib = ctypes.CDLL("liblz4.so.1")
-        lib.LZ4_compressBound.restype = ctypes.c_int
-        lib.LZ4_compress_default.restype = ctypes.c_int
-        lib.LZ4_compress_default.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib = _load_liblz4()
         bound = lib.LZ4_compressBound(BLOCK)
         buf = ctypes.create_string_buffer(bound)
         data = corpus[:8 << 20]
@@ -376,11 +384,7 @@ def bench_turbo(corpus: bytes):
     assert bytes(dec[:len(data)]) == data, "turbo roundtrip mismatch"
 
     try:
-        lib = ctypes.CDLL("liblz4.so.1")
-        lib.LZ4_compressBound.restype = ctypes.c_int
-        lib.LZ4_compress_default.restype = ctypes.c_int
-        lib.LZ4_compress_default.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib = _load_liblz4()
         bound = lib.LZ4_compressBound(BIG)
         buf = ctypes.create_string_buffer(bound)
 

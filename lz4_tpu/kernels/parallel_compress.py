@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.constants import (
-    LAST_LITERALS, MF_LIMIT, MIN_MATCH, ML_BITS, ML_MASK, RUN_MASK,
+    LAST_LITERALS, MAX_DISTANCE, MF_LIMIT, MIN_MATCH, ML_BITS, ML_MASK,
+    RUN_MASK,
 )
 
 SEG = 512          # resolution segment (greedy walk length; matches clamp here)
@@ -182,6 +183,10 @@ def _compress_block(x_u8, n, cap):
 
     # ---- phase 1+2: candidates and lengths ----
     cand = _nearest_prev_equal(x4[:L], n)
+    # the 2-byte offset field caps distances at MAX_DISTANCE - 1 = 65535;
+    # the NEAREST previous equal word being out of window means every other
+    # occurrence is too, so dropping the candidate is exact, not a heuristic
+    cand = jnp.where(i - cand < MAX_DISTANCE, cand, -1)
     hashed_len = _extend_match(x, x4, cand, n)[:L]
     hashed_dist = jnp.where(cand >= 0, i - cand, 0)
 

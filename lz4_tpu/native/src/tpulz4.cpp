@@ -175,6 +175,14 @@ inline uint8_t* write_len_p(int len, uint8_t* d) {
   return d;
 }
 
+// exact number of length-extension bytes a run/match of `len` emits via
+// write_len_p (0 when it fits in the token nibble). The reference's Java
+// tiers use a (len >>> 8) estimate and rely on checked arrays to catch the
+// rare under-reserve on multi-hundred-KB runs; C++ needs the exact bound.
+inline int len_ext_bytes(int len, int mask) {
+  return len >= mask ? (len - mask) / 255 + 1 : 0;
+}
+
 // pointer-based hot loop (same interleaved-A/B rationale as the decoders:
 // ~15% over index arithmetic on this host); emission order and heuristics
 // are exactly compress.template:16-131, so output bytes are unchanged
@@ -322,7 +330,8 @@ static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int 
 
       int run_len = (int)(ip - anchor);
       uint8_t* token = op++;
-      if (op + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > oend)
+      if (op + run_len + (2 + 1 + LAST_LITERALS)
+              + len_ext_bytes(run_len, RUN_MASK) > oend)
         return TPULZ4_E_DEST_TOO_SMALL;
       if (run_len >= RUN_MASK) {
         *token = RUN_MASK << ML_BITS;
@@ -331,10 +340,10 @@ static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int 
         *token = (uint8_t)(run_len << ML_BITS);
       }
       // wild 8-byte strides when the rounded-up copy end provably fits
-      // (the sequence bound check above reserves run_len + 8 + (run_len>>8)
-      // AFTER the length bytes, which can undercut the +7 wild rounding by
-      // a byte when the length bytes consume the >>8 estimate — caught by
-      // review, regression-tested); offset bytes written next overwrite slop
+      // (the sequence bound check above reserves run_len + 8 AFTER the
+      // length bytes, which can undercut the +7 wild rounding by a byte —
+      // caught by review, regression-tested); offset bytes written next
+      // overwrite slop
       if (op + run_len + 16 <= oend) {
         wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
       } else {
@@ -349,7 +358,8 @@ static int compress_general(const uint8_t* src, int src_len, uint8_t* dest, int 
 
         ip += MIN_MATCH;
         int match_len = common_bytes_p(ref + MIN_MATCH, ip, slimit);
-        if (op + (1 + LAST_LITERALS) + (match_len >> 8) > oend)
+        if (op + (1 + LAST_LITERALS)
+                + len_ext_bytes(match_len, ML_MASK) > oend)
           return TPULZ4_E_DEST_TOO_SMALL;
         ip += match_len;
 
@@ -462,7 +472,8 @@ static int compress_turbo_general(const uint8_t* src, int src_len,
 
       int run_len = (int)(ip - anchor);
       uint8_t* token = op++;
-      if (op + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > oend)
+      if (op + run_len + (2 + 1 + LAST_LITERALS)
+              + len_ext_bytes(run_len, RUN_MASK) > oend)
         return TPULZ4_E_DEST_TOO_SMALL;
       if (run_len >= RUN_MASK) {
         *token = RUN_MASK << ML_BITS;
@@ -470,9 +481,10 @@ static int compress_turbo_general(const uint8_t* src, int src_len,
       } else {
         *token = (uint8_t)(run_len << ML_BITS);
       }
-      // 16-byte wild strides overshoot by < 16 bytes; the +24 reserve keeps
-      // the same safety margin the 8-byte paths use (+16 over a +7 need)
-      if (op + run_len + 24 <= oend) {
+      // 16-byte wild strides overshoot by < 16 bytes on BOTH sides: the
+      // +24 reserve bounds the dest, and ip + 16 <= send bounds the source
+      // reads (literals end at ip; ip can sit as close as send - 12)
+      if (op + run_len + 24 <= oend && ip + 16 <= send) {
         wild_copy16(op, anchor, run_len > 0 ? run_len : 1);
       } else if (op + run_len + 16 <= oend) {
         wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
@@ -488,7 +500,8 @@ static int compress_turbo_general(const uint8_t* src, int src_len,
 
         ip += MIN_MATCH;
         int match_len = common_bytes_p(ref + MIN_MATCH, ip, slimit);
-        if (op + (1 + LAST_LITERALS) + (match_len >> 8) > oend)
+        if (op + (1 + LAST_LITERALS)
+                + len_ext_bytes(match_len, ML_MASK) > oend)
           return TPULZ4_E_DEST_TOO_SMALL;
         ip += match_len;
 

@@ -79,6 +79,12 @@ def get_engine(name: str = "fastest", level: int = 0) -> BatchEngine:
     if name == "parallel":
         # device-parallel compressor (kernels/parallel_compress.py): valid
         # non-identical output; decode rides the native engine
+        if level > 0:
+            # no device-parallel HC exists — refusing beats silently
+            # handing back fast-scan-quality output at a requested level
+            raise Lz4FrameError(
+                f"engine 'parallel' has no HC mode (level={level}); "
+                "use engine 'native'/'pallas'/'sharded' for HC")
         from ..api import native_instances as ni
         from ..kernels import parallel_compress as pcomp
 

@@ -43,7 +43,14 @@ class BuildPyWithNative(build_py):
         ).split()
         cmd = [cxx, *flags, str(SRC), "-o", str(out)]
         print(f"building prebuilt native library: {' '.join(cmd)}")
-        subprocess.run(cmd, check=True)
+        try:
+            subprocess.run(cmd, check=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            # a compiler-less source install must still succeed — the
+            # runtime falls back to locate-or-build, then pallas/safe
+            # (same graceful degradation Native.load() failures get)
+            print(f"prebuilt native build skipped ({e}); the runtime "
+                  "will build on first use or fall back to pure tiers")
 
 
 class BinaryDistribution(Distribution):

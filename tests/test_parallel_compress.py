@@ -77,6 +77,28 @@ def test_corpus_ratio_near_reference(calgary):
     assert tot_ours <= tot_ref * 1.15, (tot_ours, tot_ref)
 
 
+def test_offset_window_clamp_beyond_64k():
+    """Blocks larger than 64KB must drop match candidates farther than the
+    2-byte offset field can express (MAX_DISTANCE); an out-of-window repeat
+    used to emit a truncated offset and decode to WRONG bytes silently."""
+    rng = np.random.default_rng(7)
+    head = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    mid = rng.integers(0, 256, 69_900, dtype=np.uint8).tobytes()
+    blk = head + mid + head          # repeat of head at distance > 65535
+    comp = pc.compress_blocks([blk])[0]
+    assert bytes(decompress_safe_alloc(comp, len(blk))) == blk
+
+    # and a repeat just INSIDE the window still compresses as a match:
+    # same length, same prefix, tail repeated from an in-window position —
+    # must come out smaller than the out-of-window variant above
+    base = head + mid
+    near = base + base[-65_000:-65_000 + 64]
+    comp2 = pc.compress_blocks([near])[0]
+    assert bytes(decompress_safe_alloc(comp2, len(near))) == near
+    assert len(near) == len(blk)
+    assert len(comp2) < len(comp) - 20
+
+
 def test_native_and_jax_decoders_accept_output(rng):
     native = pytest.importorskip("lz4_tpu.api.native_instances")
     from lz4_tpu.api.factory import Lz4Factory

@@ -99,12 +99,19 @@ libc.malloc.argtypes = [ctypes.c_size_t]
 libc.free.argtypes = [ctypes.c_void_p]
 
 def compress_tight(data: bytes, cap: int, fn=None):
+    # src ALSO lives in an exactly-sized malloc'd buffer: wild-stride
+    # literal copies read the source in 8/16-byte strides, so a source-side
+    # over-read past src_len is a real bug this must catch (round-4 review
+    # found one in the turbo path's 16-byte strides)
     p = libc.malloc(max(cap, 1))
+    s = libc.malloc(max(len(data), 1))
     try:
-        (fn or lib.tpulz4_compress_fast)(buf(data), len(data),
+        ctypes.memmove(s, data, len(data))
+        (fn or lib.tpulz4_compress_fast)(ctypes.cast(s, u8p), len(data),
                                          ctypes.cast(p, u8p), cap)
     finally:
         libc.free(p)
+        libc.free(s)
 
 # directed sweep: a long literal run + matches, dest caps walked through
 # the exact emission boundary (the wild-literal-emission overflow shape)
@@ -120,6 +127,37 @@ _needt = lib.tpulz4_compress_turbo(buf(_dirt), len(_dirt), cdest, 700000)
 assert _needt > 0
 for cap in range(max(1, _needt - 40), _needt + 8):
     compress_tight(_dirt, cap, lib.tpulz4_compress_turbo)
+
+# multi-hundred-KB single runs (the >>8 ext-byte reserve shape, caught by
+# round-4 review): a ~800KB literal run ending in an in-window match, and
+# all-zeros giving one ~800KB match — both sweep caps through the exact
+# boundary where an under-reserved length-extension write lands past oend
+cbig = (ctypes.c_uint8 * 1_000_000)()
+_lit = rng.randbytes(800_000)
+_lit = _lit + _lit[-60_000:-60_000 + 64]       # match at distance 60000
+_zer = bytes(800_000)
+for blob, fns in ((_lit, (lib.tpulz4_compress_fast,
+                          lib.tpulz4_compress_turbo)),
+                  (_zer, (lib.tpulz4_compress_fast,
+                          lib.tpulz4_compress_turbo))):
+    for fn in fns:
+        need = fn(buf(blob), len(blob), cbig, 1_000_000)
+        assert need > 0
+        for cap in range(max(1, need - 48), need + 8):
+            compress_tight(blob, cap, fn)
+
+# turbo wild_copy16 source-side boundary (round-4 review): a final match
+# landing within 14 bytes of send with run_len % 16 == 1 makes the literal
+# copy's 16-byte strides read past the source end. Alphabet-4 random data
+# produces matches at every alignment; sweeping seed x length hits the
+# residues (verified: this family aborts the pre-fix library in the first
+# few seeds). compress_tight places src in an exactly-sized malloc'd
+# buffer so ASan sees the over-read.
+for seed in range(64):
+    srng = random.Random(seed)
+    L = 66_000 + seed % 64
+    blob = bytes(srng.choice(b"abcd") for _ in range(L))
+    compress_tight(blob, 1_000_000, lib.tpulz4_compress_turbo)
 
 t0 = time.time()
 for it in range(N_ITER):

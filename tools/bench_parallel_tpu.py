@@ -14,12 +14,13 @@ verification that the emitted blocks are valid LZ4.
 from __future__ import annotations
 
 import functools
+import pathlib
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main(block_len=65536, n_blocks=64):
