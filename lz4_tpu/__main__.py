@@ -152,6 +152,17 @@ def main(argv=None):
         import os
         os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
         return 0
+    except OSError as e:
+        print(f"lz4_tpu: {e}", file=sys.stderr)
+        return 1
+    except Exception as e:
+        from .core.errors import Lz4Error
+        if isinstance(e, Lz4Error):
+            # clean one-line diagnostics for expected codec/format errors
+            # (bad frames, refused engine/level combinations, tight dests)
+            print(f"lz4_tpu: error: {e}", file=sys.stderr)
+            return 1
+        raise
 
 
 if __name__ == "__main__":
