@@ -137,14 +137,14 @@ def bench_native_formats(corpus: bytes):
     data = corpus[:24 << 20]
     fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)  # warm
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         fr = ni.compress_frame_packed(data, 4, ni.F_CONTENT_CHECKSUM)
         times.append(time.time() - t0)
     out["frame_compress_gbps"] = round(len(data) / min(times) / 1e9, 3)
     fbuf = bytearray(len(data))
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         dec, _ = ni.decompress_frame_packed(fr, dest=fbuf)
         times.append(time.time() - t0)
@@ -153,13 +153,13 @@ def bench_native_formats(corpus: bytes):
 
     bs = ni.compress_block_stream_packed(data, BLOCK)  # warm
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         bs = ni.compress_block_stream_packed(data, BLOCK)
         times.append(time.time() - t0)
     out["blockstream_compress_gbps"] = round(len(data) / min(times) / 1e9, 3)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         dec, _ = ni.decompress_block_stream_packed(bs, dest=fbuf)
         times.append(time.time() - t0)
@@ -171,7 +171,7 @@ def bench_native_formats(corpus: bytes):
     both = ni.F_CONTENT_CHECKSUM | ni.F_BLOCK_CHECKSUM
     frb = ni.compress_frame_packed(data, 4, both)  # warm
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         dec, _ = ni.decompress_frame_packed(frb, dest=fbuf)
         times.append(time.time() - t0)
