@@ -15,7 +15,7 @@ plus a data-parallel sharding runtime over a ``jax.sharding.Mesh`` for
 multi-chip / multi-host frame compression (SURVEY.md §7 T5).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from .core import (  # noqa: F401
     Lz4Error, Lz4FrameError, max_compressed_length,

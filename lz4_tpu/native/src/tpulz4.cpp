@@ -29,6 +29,10 @@
 #define TPULZ4_API extern "C" __attribute__((visibility("default")))
 #endif
 
+// single source of truth for the ABI version surface; must track the Python
+// package version (lz4_tpu/__init__.py) — pinned by tests/test_native.py
+#define TPULZ4_VERSION_STR "0.5.0"
+
 namespace {
 
 // ---- constants (LZ4Constants.java:23-53 equivalents) ----
@@ -691,7 +695,10 @@ static int encode_sequence(const uint8_t* src, int anchor, int match_off, int ma
                            int match_len, uint8_t* dest, int d, int dest_end) {
   int run_len = match_off - anchor;
   int token_off = d++;
-  if (d + run_len + (2 + 1 + LAST_LITERALS) + (run_len >> 8) > dest_end)
+  // exact extension-byte bound: HC input length is unbounded, so the Java
+  // tiers' (len >>> 8) estimate under-reserves by more than the fixed slack
+  // once a literal run passes ~280KB and would write past dest_end
+  if (d + run_len + (2 + 1 + LAST_LITERALS) + len_ext_bytes(run_len, RUN_MASK) > dest_end)
     return TPULZ4_E_DEST_TOO_SMALL;
 
   int token;
@@ -709,7 +716,7 @@ static int encode_sequence(const uint8_t* src, int anchor, int match_off, int ma
   dest[d++] = (uint8_t)(match_dec >> 8);
 
   match_len -= 4;
-  if (d + (1 + LAST_LITERALS) + (match_len >> 8) > dest_end)
+  if (d + (1 + LAST_LITERALS) + len_ext_bytes(match_len, ML_MASK) > dest_end)
     return TPULZ4_E_DEST_TOO_SMALL;
   if (match_len >= ML_MASK) {
     token |= ML_MASK;
@@ -2301,4 +2308,4 @@ TPULZ4_API int64_t tpulz4_blockstream_decompress(
   return total;
 }
 
-TPULZ4_API const char* tpulz4_version() { return "tpulz4-native 0.3.0"; }
+TPULZ4_API const char* tpulz4_version() { return "tpulz4-native " TPULZ4_VERSION_STR; }

@@ -136,10 +136,17 @@ cbig = (ctypes.c_uint8 * 1_000_000)()
 _lit = rng.randbytes(800_000)
 _lit = _lit + _lit[-60_000:-60_000 + 64]       # match at distance 60000
 _zer = bytes(800_000)
+def _hc(level):
+    def fn(src, src_len, dst, cap):
+        return lib.tpulz4_compress_hc(src, src_len, dst, cap, level)
+    return fn
+
+# HC rides the same sweep: its encode_sequence had the identical >>8
+# under-reserve shape (round-5 fix) that fast/turbo got in round 4
 for blob, fns in ((_lit, (lib.tpulz4_compress_fast,
-                          lib.tpulz4_compress_turbo)),
+                          lib.tpulz4_compress_turbo, _hc(1), _hc(9))),
                   (_zer, (lib.tpulz4_compress_fast,
-                          lib.tpulz4_compress_turbo))):
+                          lib.tpulz4_compress_turbo, _hc(1), _hc(9)))):
     for fn in fns:
         need = fn(buf(blob), len(blob), cbig, 1_000_000)
         assert need > 0
