@@ -46,18 +46,34 @@ class BuildPyWithNative(build_py):
         try:
             subprocess.run(cmd, check=True)
         except (OSError, subprocess.CalledProcessError) as e:
-            # a compiler-less source install must still succeed — the
-            # runtime falls back to locate-or-build, then pallas/safe
-            # (same graceful degradation Native.load() failures get)
-            print(f"prebuilt native build skipped ({e}); the runtime "
-                  "will build on first use or fall back to pure tiers")
+            # fail loud by default: every build_py here feeds a wheel (pip
+            # builds installs via wheels too), and a wheel silently missing
+            # its .so would be tagged platform-specific yet ship without
+            # the native tier (advisor r4 #3). A compiler-less user can
+            # still opt into a degraded artifact explicitly.
+            if os.environ.get("TPULZ4_ALLOW_MISSING_NATIVE") == "1":
+                print(f"prebuilt native build skipped ({e}); the runtime "
+                      "will build on first use or fall back to pure tiers")
+                return
+            raise RuntimeError(
+                f"native library build failed ({e}). Install a C++ "
+                "toolchain, or set TPULZ4_ALLOW_MISSING_NATIVE=1 to build "
+                "an artifact without the embedded native tier (the runtime "
+                "then compiles on first use or falls back to pure tiers), "
+                "or TPULZ4_NO_NATIVE=1 for a pure-Python artifact."
+            ) from e
 
 
 class BinaryDistribution(Distribution):
-    """Mark the wheel platform-specific (it carries a compiled .so)."""
+    """Mark the wheel platform-specific (it carries a compiled .so).
+
+    A pure-Python artifact (TPULZ4_NO_NATIVE=1) or an explicitly degraded
+    one (TPULZ4_ALLOW_MISSING_NATIVE=1) carries no .so and stays py3-any.
+    """
 
     def has_ext_modules(self):
-        return True
+        return (os.environ.get("TPULZ4_NO_NATIVE") != "1"
+                and os.environ.get("TPULZ4_ALLOW_MISSING_NATIVE") != "1")
 
 
 setup(

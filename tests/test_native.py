@@ -714,6 +714,42 @@ class TestNativeBuildLifecycle:
 
 
 @pytest.mark.slow
+def test_wheel_build_fails_loud_without_compiler(tmp_path):
+    """Advisor r4 #3: a wheel built on a host with a broken toolchain must
+    fail, not silently ship platform-tagged without the native tier. With
+    the explicit opt-out it succeeds and carries no .so."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import zipfile
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, TPULZ4_CXX="/bin/false")
+    env.pop("TPULZ4_ALLOW_MISSING_NATIVE", None)
+    env.pop("TPULZ4_NO_NATIVE", None)
+    broken = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", str(root), "--no-deps",
+         "--no-build-isolation", "-w", str(tmp_path / "broken")],
+        capture_output=True, text=True, timeout=600, env=env)
+    if "native library build failed" not in (broken.stderr + broken.stdout):
+        pytest.skip(f"pip wheel unavailable: {broken.stderr[-400:]}")
+    assert broken.returncode != 0
+    assert not list((tmp_path / "broken").glob("*.whl"))
+
+    env["TPULZ4_ALLOW_MISSING_NATIVE"] = "1"
+    ok = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", str(root), "--no-deps",
+         "--no-build-isolation", "-w", str(tmp_path / "degraded")],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert ok.returncode == 0, ok.stderr
+    wheel = next((tmp_path / "degraded").glob("tpu_lz4-*.whl"))
+    assert "any" in wheel.name, wheel.name  # not platform-tagged
+    with zipfile.ZipFile(wheel) as zf:
+        assert not [n for n in zf.namelist() if n.endswith(".so")]
+
+
+@pytest.mark.slow
 def test_prebuilt_wheel_ships_native_library(tmp_path):
     """VERDICT r3 #9: `pip wheel .` embeds a prebuilt libtpulz4 so
     compiler-less installs keep the native tier (the reference ships
