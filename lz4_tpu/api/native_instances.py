@@ -532,7 +532,8 @@ def compress_frame_packed(data, block_size_id: int = 7, flags: int = 0,
 
 def decompress_frame_packed(data, dest_cap: int | None = None,
                             single_frame: bool = False,
-                            n_threads=None, dest=None):
+                            n_threads=None, dest=None,
+                            allow_dependent: bool = False):
     """One native call: parse frame(s), threaded block decode, verify.
 
     Handles concatenated and skippable frames. Returns
@@ -540,16 +541,23 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
     initial capacity guess is short. Pass ``dest`` (a reusable writable
     buffer) to skip the per-call allocation and the bytes copy — the
     return then is ``(memoryview_of_dest, consumed)``.
+
+    ``allow_dependent=True`` additionally reads linked-block frames (the
+    lz4 CLI's ``-BD`` mode) via a serial history-extended decode; the
+    default refuses them, matching the reference
+    (LZ4FrameOutputStream.java:361-363).
     """
     import os
     n_threads = n_threads or (os.cpu_count() or 1)
+    dep = 1 if allow_dependent else 0
     consumed = ctypes.c_int64(0)
     if dest is not None:
         s_addr, s_keep = _base_addr(data)
         d_addr, d_keep = _wbase_addr(dest)
         n = _lib.tpulz4_frame_decompress(
             _ptr(s_addr, 0), len(data), _ptr(d_addr, 0), len(dest),
-            n_threads, 1 if single_frame else 0, ctypes.byref(consumed))
+            n_threads, 1 if single_frame else 0, dep,
+            ctypes.byref(consumed))
         del s_keep, d_keep
         if n < 0:
             _raise_frame_error(int(n), "frame_decompress")
@@ -561,7 +569,8 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
         d_addr, d_keep = _wbase_addr(dest)
         n = _lib.tpulz4_frame_decompress(
             _ptr(s_addr, 0), len(data), _ptr(d_addr, 0), cap,
-            n_threads, 1 if single_frame else 0, ctypes.byref(consumed))
+            n_threads, 1 if single_frame else 0, dep,
+            ctypes.byref(consumed))
         del s_keep, d_keep
         if n == bindings.E_DEST_TOO_SMALL and dest_cap is None:
             cap *= 4
@@ -570,6 +579,26 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
             _raise_frame_error(int(n), "frame_decompress")
         del dest[int(n):]
         return bytes(dest), int(consumed.value)
+
+
+def decompress_block_with_history(comp, out_max: int, history) -> bytes:
+    """Decode one linked-mode block: matches may reference up to
+    ``len(history)`` bytes of previously decoded output (64KB window).
+
+    Places ``history`` immediately before the output region in one
+    contiguous buffer and calls the history-extended native decoder.
+    """
+    h = len(history)
+    buf = bytearray(h + out_max)
+    buf[:h] = history
+    s_addr, s_keep = _base_addr(comp)
+    d_addr, d_keep = _wbase_addr(buf)
+    n = _lib.tpulz4_decompress_safe_ext(
+        _ptr(s_addr, 0), len(comp), _ptr(d_addr, h), out_max, h)
+    del s_keep, d_keep
+    if n < 0:
+        _raise_error(int(n), "decompress_block_with_history")
+    return bytes(buf[h:h + int(n)])
 
 
 def compress_block_stream_packed(data, block_size: int = 1 << 16,

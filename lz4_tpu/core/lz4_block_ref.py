@@ -425,14 +425,21 @@ def decompress_fast(src, src_off: int, dest, dest_off: int, dest_len: int) -> in
     return s_off - src_off
 
 
-def decompress_safe(src, src_off: int, src_len: int, dest, dest_off: int, dest_len: int) -> int:
+def decompress_safe(src, src_off: int, src_len: int, dest, dest_off: int, dest_len: int,
+                    hist: int = 0) -> int:
     """Decompress a block whose *compressed* size is exactly known.
 
     Returns the number of bytes written to ``dest``. Mirrors the "Safe"
     template variant (decompress.template:17-128).
+
+    ``hist`` > 0 extends the match window to that many bytes of ``dest``
+    BEFORE ``dest_off`` (linked-block frame mode; decode-only opt-in — the
+    reference refuses dependent frames, LZ4FrameOutputStream.java:361-363).
     """
     _check_range(src, src_off, src_len)
     _check_range(dest, dest_off, dest_len)
+    if hist < 0 or hist > dest_off:
+        raise ValueError("hist must be within the bytes before dest_off")
 
     if dest_len == 0:
         if src_len != 1 or src[src_off] != 0:
@@ -479,7 +486,7 @@ def decompress_safe(src, src_off: int, src_len: int, dest, dest_off: int, dest_l
         match_dec = src[s_off] | (src[s_off + 1] << 8)
         s_off += 2
         match_off = d_off - match_dec
-        if match_off < dest_off:
+        if match_off < dest_off - hist:
             raise Lz4Error(f"Malformed input at {s_off}")
 
         match_len = token & ML_MASK

@@ -76,14 +76,16 @@ def _flg_to_byte(flags: frozenset[FrameFlag]) -> int:
     return b
 
 
-def _flg_from_byte(b: int) -> frozenset[FrameFlag]:
+def _flg_from_byte(b: int, allow_dependent: bool = False) -> frozenset[FrameFlag]:
     version = (b >> 6) & 3
     if version != _VERSION:
         raise Lz4FrameError(f"Version {version} is unsupported")
     if b & 0b11:
         raise Lz4FrameError("Reserved bits must be 0")
     flags = frozenset(f for f in FrameFlag if b & (1 << f.value))
-    if FrameFlag.BLOCK_INDEPENDENCE not in flags:
+    if FrameFlag.BLOCK_INDEPENDENCE not in flags and not allow_dependent:
+        # reference behavior (LZ4FrameOutputStream.java:361-363); readers
+        # may opt into linked-block decode via allow_dependent_blocks
         raise Lz4FrameError(
             "Dependent block stream is unsupported (BLOCK_INDEPENDENCE must be set)")
     return flags
@@ -207,13 +209,20 @@ class Lz4FrameInputStream(io.RawIOBase):
     validation, lazy header read (LZ4FrameInputStream.java:132-345)."""
 
     def __init__(self, inp, read_single_frame: bool = False,
-                 decompressor=None, checksum=None):
+                 decompressor=None, checksum=None,
+                 allow_dependent_blocks: bool = False):
         super().__init__()
         self._in = inp
         self._read_single_frame = read_single_frame
         factory = Lz4Factory.fastest_instance()
         self._decompressor = decompressor or factory.safe_decompressor()
         self._checksum = checksum or XXHashFactory.fastest_instance().hash32()
+        # opt-in linked-block ("dependent", lz4 CLI -BD) frame reading; the
+        # default refuses such frames like the reference does
+        # (LZ4FrameOutputStream.java:361-363)
+        self._allow_dependent = allow_dependent_blocks
+        self._dependent = False
+        self._history = b""  # last 64KB of this frame's decoded output
         self._buffer = b""
         self._pos = 0
         self._first_header_read = False
@@ -265,7 +274,9 @@ class Lz4FrameInputStream(io.RawIOBase):
 
     def _read_header(self) -> None:
         desc = bytearray(self._read_exact(2))
-        self._flags = _flg_from_byte(desc[0])
+        self._flags = _flg_from_byte(desc[0], self._allow_dependent)
+        self._dependent = FrameFlag.BLOCK_INDEPENDENCE not in self._flags
+        self._history = b""  # the linked-match window resets per frame
         block_size = _bd_from_byte(desc[1])
         if FrameFlag.CONTENT_SIZE in self._flags:
             raw = self._read_exact(8)
@@ -311,11 +322,16 @@ class Lz4FrameInputStream(io.RawIOBase):
             if expect != (self._checksum.hash(payload, 0, block_size, 0) & 0xFFFFFFFF):
                 raise Lz4FrameError("Block checksum mismatch")
 
-        if compressed:
+        if compressed and self._dependent:
+            raw = _decode_dependent_block(payload, self._max_block,
+                                          self._history)
+        elif compressed:
             raw = self._decompressor.decompress_alloc(
                 payload, 0, block_size, self._max_block)
         else:
             raw = payload
+        if self._dependent:
+            self._history = (self._history + bytes(raw))[-65536:]
         if self._content_hash is not None:
             self._content_hash.update(raw, 0, len(raw))
         self._total_content_size += len(raw)
@@ -355,6 +371,32 @@ class Lz4FrameInputStream(io.RawIOBase):
         return len(data)
 
 
+def _decode_dependent_block_ref(payload, out_max: int, history) -> bytes:
+    """Pure-Python linked-block decode: history is placed before the output
+    region of one buffer and the reference decoder runs with the ``hist``
+    window extension."""
+    from ..core import lz4_block_ref
+    h = len(history)
+    buf = bytearray(h + out_max)
+    buf[:h] = history
+    n = lz4_block_ref.decompress_safe(payload, 0, len(payload),
+                                      buf, h, out_max, hist=h)
+    return bytes(buf[h:h + n])
+
+
+def _decode_dependent_block(payload, out_max: int, history) -> bytes:
+    """Decode one linked-mode block against up to 64KB of prior output.
+
+    Native history-extended decoder when available; pure-Python reference
+    decoder (``hist`` window extension) otherwise.
+    """
+    try:
+        from ..api import native_instances as ni
+        return ni.decompress_block_with_history(payload, out_max, history)
+    except (ImportError, NativeBuildError):
+        return _decode_dependent_block_ref(payload, out_max, history)
+
+
 def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
                    features: tuple[FrameFlag, ...] = DEFAULT_FEATURES,
                    known_size: bool = False, compressor=None) -> bytes:
@@ -388,21 +430,26 @@ def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
     return out.getvalue()
 
 
-def decompress_frame(data, read_single_frame: bool = False) -> bytes:
+def decompress_frame(data, read_single_frame: bool = False,
+                     allow_dependent_blocks: bool = False) -> bytes:
     """One-shot: decode one or more concatenated LZ4 frames.
 
     Routed through the native one-call frame codec (parse + threaded block
     decode + checksum verification in C++) when available.
+    ``allow_dependent_blocks=True`` additionally reads linked-block frames
+    (lz4 CLI ``-BD``); the default refuses them like the reference.
     """
     try:
         from ..api import native_instances as ni
-        out, _ = ni.decompress_frame_packed(bytes(data),
-                                            single_frame=read_single_frame)
+        out, _ = ni.decompress_frame_packed(
+            bytes(data), single_frame=read_single_frame,
+            allow_dependent=allow_dependent_blocks)
         return out
     except (ImportError, NativeBuildError):
         pass
-    stream = Lz4FrameInputStream(io.BytesIO(data),
-                                 read_single_frame=read_single_frame)
+    stream = Lz4FrameInputStream(
+        io.BytesIO(data), read_single_frame=read_single_frame,
+        allow_dependent_blocks=allow_dependent_blocks)
     return stream.read()
 
 

@@ -51,6 +51,10 @@ def load():
                                            ctypes.c_int]
         lib.tpulz4_decompress_safe.restype = ctypes.c_int
         lib.tpulz4_decompress_safe.argtypes = [_c_u8p, ctypes.c_int, _c_u8p, ctypes.c_int]
+        # history-extended decoder (linked-block frames, decode-only opt-in)
+        lib.tpulz4_decompress_safe_ext.restype = ctypes.c_int
+        lib.tpulz4_decompress_safe_ext.argtypes = [
+            _c_u8p, ctypes.c_int, _c_u8p, ctypes.c_int, ctypes.c_int]
         lib.tpulz4_decompress_fast.restype = ctypes.c_int
         lib.tpulz4_decompress_fast.argtypes = [_c_u8p, ctypes.c_int, _c_u8p, ctypes.c_int]
         lib.tpulz4_max_compressed_length.restype = ctypes.c_int
@@ -113,7 +117,7 @@ def load():
         lib.tpulz4_frame_decompress.restype = ctypes.c_int64
         lib.tpulz4_frame_decompress.argtypes = [
             _c_u8p, ctypes.c_int64, _c_u8p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, _i64p]
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _i64p]
 
         lib.tpulz4_blockstream_compress_bound.restype = ctypes.c_int64
         lib.tpulz4_blockstream_compress_bound.argtypes = [ctypes.c_int64,

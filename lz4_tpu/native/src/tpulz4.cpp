@@ -928,9 +928,16 @@ static inline void match_copy(uint8_t* dest, int match_off, int d, int dist,
 // decompressors
 // ---------------------------------------------------------------------------
 
-TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
-                                      uint8_t* dest, int dest_len) {
-  if (src_len < 0 || dest_len < 0) return TPULZ4_E_PARAM;
+// Core safe decoder. `hist_len` > 0 extends the match window to that many
+// contiguous bytes BEFORE `dest` (the linked-block mode of the frame spec:
+// matches may reach up to 64KB into previously decoded output). hist_len=0
+// is the independent-block decoder the reference implements
+// (decompress.template:17-128); the reference refuses linked frames
+// entirely (LZ4FrameOutputStream.java:361-363) — the extension is decode-
+// only and opt-in at the frame layer.
+static int decompress_safe_impl(const uint8_t* src, int src_len,
+                                uint8_t* dest, int dest_len, int hist_len) {
+  if (src_len < 0 || dest_len < 0 || hist_len < 0) return TPULZ4_E_PARAM;
   if (dest_len == 0) {
     if (src_len != 1 || src[0] != 0) return TPULZ4_E_MALFORMED;
     return 0;
@@ -942,6 +949,7 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
   const uint8_t* ip = src;
   const uint8_t* const iend = src + src_len;
   uint8_t* op = dest;
+  uint8_t* const wbase = dest - hist_len;  // window base (== dest when no history)
   uint8_t* const oend = dest + dest_len;
   // Split-shortcut envelopes. Literal shortcut: token consumed, blind 16B
   // literal copy + 2B distance readable => ip <= iend-16 (ll <= 14 so the
@@ -969,7 +977,7 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
       unsigned mlf = token & ML_MASK;
       if (__builtin_expect(mlf != ML_MASK && dist >= 8, 1)) {
         const uint8_t* match = op - dist;
-        if (match < dest) return TPULZ4_E_MALFORMED;
+        if (match < wbase) return TPULZ4_E_MALFORMED;
         // ml <= 18: two 8B strides + 2B tail (reads land on bytes the
         // first strides just wrote when dist < 18)
         std::memcpy(op, match, 8);
@@ -1015,7 +1023,7 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
     dist = read16le(ip);
     ip += 2;
   have_dist:
-    if (op - dest < (std::ptrdiff_t)dist) return TPULZ4_E_MALFORMED;
+    if (op - wbase < (std::ptrdiff_t)dist) return TPULZ4_E_MALFORMED;
 
     {
       int match_len = token & ML_MASK;
@@ -1047,6 +1055,22 @@ TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
     }
   }
   return (int)(op - dest);
+}
+
+TPULZ4_API int tpulz4_decompress_safe(const uint8_t* src, int src_len,
+                                      uint8_t* dest, int dest_len) {
+  return decompress_safe_impl(src, src_len, dest, dest_len, 0);
+}
+
+// decode-only linked-block support (r4 verdict next #8): `hist_len` valid
+// bytes are readable immediately before `dest` and matches may reference
+// them. The reference refuses dependent frames on both sides
+// (LZ4FrameOutputStream.java:361-363); this reads what the lz4 CLI's -BD
+// produces while the writer keeps parity (never emits dependent frames).
+TPULZ4_API int tpulz4_decompress_safe_ext(const uint8_t* src, int src_len,
+                                          uint8_t* dest, int dest_len,
+                                          int hist_len) {
+  return decompress_safe_impl(src, src_len, dest, dest_len, hist_len);
 }
 
 TPULZ4_API int tpulz4_decompress_fast(const uint8_t* src, int src_avail,
@@ -1729,6 +1753,47 @@ class ScratchLease {
   bool leased_;
 };
 
+struct Blk { int64_t off; int32_t len; bool compressed; uint32_t bsum; };
+
+// Serial linked-block ("dependent", CLI -BD) frame-body decode: each block
+// may reference up to 64KB of the frame's previously decoded output, so
+// blocks decode in order, contiguously, through the history-extended block
+// decoder. Decode-only and opt-in — the writer keeps reference parity and
+// never emits dependent frames (LZ4FrameOutputStream.java:361-363).
+// Returns the frame's decoded length or a negative error.
+static int64_t decode_dependent(const uint8_t* src,
+                                const std::vector<Blk>& blocks, int64_t bs,
+                                bool has_bsum, uint8_t* dest,
+                                int64_t frame_dest, int64_t dest_cap) {
+  int64_t w = frame_dest;
+  for (const Blk& b : blocks) {
+    const uint8_t* p = src + b.off;
+    if (has_bsum && tpulz4_xxh32(p, b.len, 0) != b.bsum)
+      return TPULZ4_E_CHECKSUM;
+    int64_t room = dest_cap - w;
+    int out_max = (int)(room < bs ? (room < 0 ? 0 : room) : bs);
+    int64_t seen = w - frame_dest;
+    int hist = (int)(seen < MAX_DISTANCE ? seen : MAX_DISTANCE);
+    int out_len;
+    if (b.compressed) {
+      int r = tpulz4_decompress_safe_ext(p, b.len, dest + w, out_max, hist);
+      if (r < 0)
+        // a block that failed inside a clamped slot may just need room (a
+        // match crossing the clamped end reads as malformed): report
+        // DEST_TOO_SMALL so the caller's grow-retry resolves it truthfully
+        return (out_max < bs && r == TPULZ4_E_MALFORMED)
+                   ? TPULZ4_E_DEST_TOO_SMALL : r;
+      out_len = r;
+    } else {
+      if (b.len > out_max) return TPULZ4_E_DEST_TOO_SMALL;
+      std::memcpy(dest + w, p, b.len);
+      out_len = b.len;
+    }
+    w += out_len;
+  }
+  return w - frame_dest;
+}
+
 }  // namespace frame
 
 TPULZ4_API int64_t tpulz4_frame_compress_bound(int64_t raw_len,
@@ -1885,7 +1950,8 @@ TPULZ4_API void tpulz4_release_scratch() { frame::ScratchLease::release_cache();
 // first complete data frame (LZ4FrameInputStream.java:416-445 semantics).
 TPULZ4_API int64_t tpulz4_frame_decompress(
     const uint8_t* src, int64_t src_len, uint8_t* dest, int64_t dest_cap,
-    int32_t n_threads, int32_t single_frame, int64_t* consumed_out) {
+    int32_t n_threads, int32_t single_frame, int32_t allow_dependent,
+    int64_t* consumed_out) {
   int64_t s = 0, d = 0;
   bool first = true;
   while (s < src_len) {
@@ -1917,7 +1983,8 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
     s += 2;
     if (((flg >> 6) & 3) != 1) return TPULZ4_E_FRAME_VERSION;
     if (flg & 0b11) return TPULZ4_E_FRAME_RESERVED;
-    if (!(flg & (1 << 5))) return TPULZ4_E_FRAME_DEPENDENT;
+    const bool dependent = !(flg & (1 << 5));
+    if (dependent && !allow_dependent) return TPULZ4_E_FRAME_DEPENDENT;
     if (bd & 0x8F) return TPULZ4_E_FRAME_RESERVED;
     int bsid = (bd >> 4) & 7;
     if (bsid < 4 || bsid > 7) return TPULZ4_E_FRAME_BLOCKSIZE;
@@ -1941,8 +2008,7 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
     // payload in this walk costs ~0.1 core-s/GB before any decode starts
     // and was the dominant slice of the all-checksums decode gap
     // (BENCH r3: 2.41 vs 3.12 GB/s; VERDICT r3 #6).
-    struct Blk { int64_t off; int32_t len; bool compressed; uint32_t bsum; };
-    std::vector<Blk> blocks;
+    std::vector<frame::Blk> blocks;
     for (;;) {
       if (s + 4 > src_len) return TPULZ4_E_FRAME;
       uint32_t word = frame::read_u32(src + s);
@@ -1959,6 +2025,26 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
         blocks.back().bsum = frame::read_u32(src + s);
         s += 4;
       }
+    }
+
+    if (dependent) {
+      // linked-block frame body: serial, contiguous, history-extended
+      // decode (frame::decode_dependent); checksums validated inline/after
+      int64_t fd = d;
+      int64_t ft = frame::decode_dependent(src, blocks, bs, has_bsum, dest,
+                                           fd, dest_cap);
+      if (ft < 0) return ft;
+      d = fd + ft;
+      if (has_csum) {
+        if (s + 4 > src_len) return TPULZ4_E_FRAME;
+        uint32_t expect = frame::read_u32(src + s);
+        s += 4;
+        if (expect != tpulz4_xxh32(dest + fd, ft, 0))
+          return TPULZ4_E_CHECKSUM;
+      }
+      if (has_csize && expected_size != (uint64_t)ft) return TPULZ4_E_FRAME;
+      if (single_frame) break;
+      continue;
     }
 
     // parallel decompress at stride bs into dest (order-preserving compact

@@ -1,0 +1,228 @@
+"""Linked-block ("dependent", lz4 CLI -BD) frame decode — opt-in extension.
+
+The reference refuses dependent frames on BOTH sides
+(LZ4FrameOutputStream.java:361-363, LZ4FrameInputStream validates
+BLOCK_INDEPENDENCE via the FLG byte); parity keeps that default here. The
+lz4 CLI *produces* linked frames under ``-BD``, so the reader additionally
+supports them behind ``allow_dependent_blocks=True`` (r4 verdict next #8):
+matches may reference up to 64KB of the frame's previously decoded output,
+decoded serially through the history-extended block decoder.
+
+Differential oracle: frames are produced by system liblz4's LZ4F with
+``blockMode=LZ4F_blockLinked`` — real upstream linked frames, not
+self-made vectors.
+"""
+
+import ctypes
+import io
+
+import pytest
+
+from lz4_tpu.core.errors import Lz4Error, Lz4FrameError
+from lz4_tpu.formats import frame as frame_mod
+
+from conftest import random_bytes  # noqa: E402
+
+try:
+    _LIB = ctypes.CDLL("liblz4.so.1")
+    _LIB.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+    _LIB.LZ4F_compressFrameBound.argtypes = [ctypes.c_size_t,
+                                             ctypes.c_void_p]
+    _LIB.LZ4F_compressFrame.restype = ctypes.c_size_t
+    _LIB.LZ4F_isError.restype = ctypes.c_uint
+    _LIB.LZ4F_isError.argtypes = [ctypes.c_size_t]
+except OSError:  # pragma: no cover - liblz4 is present in this image
+    _LIB = None
+
+pytestmark = pytest.mark.skipif(_LIB is None, reason="liblz4 unavailable")
+
+
+class _FrameInfo(ctypes.Structure):
+    _fields_ = [("blockSizeID", ctypes.c_int),
+                ("blockMode", ctypes.c_int),
+                ("contentChecksumFlag", ctypes.c_int),
+                ("frameType", ctypes.c_int),
+                ("contentSize", ctypes.c_ulonglong),
+                ("dictID", ctypes.c_uint),
+                ("blockChecksumFlag", ctypes.c_int)]
+
+
+class _Preferences(ctypes.Structure):
+    _fields_ = [("frameInfo", _FrameInfo),
+                ("compressionLevel", ctypes.c_int),
+                ("autoFlush", ctypes.c_uint),
+                ("favorDecSpeed", ctypes.c_uint),
+                ("reserved", ctypes.c_uint * 3)]
+
+
+def _upstream_linked_frame(data: bytes, content_checksum=True,
+                           block_size_id=4, block_checksum=False,
+                           content_size=False) -> bytes:
+    """A real linked-block frame from upstream LZ4F (blockMode=0)."""
+    prefs = _Preferences()
+    prefs.frameInfo.blockSizeID = block_size_id
+    prefs.frameInfo.blockMode = 0  # LZ4F_blockLinked
+    prefs.frameInfo.contentChecksumFlag = 1 if content_checksum else 0
+    prefs.frameInfo.blockChecksumFlag = 1 if block_checksum else 0
+    if content_size:
+        prefs.frameInfo.contentSize = len(data)
+    bound = _LIB.LZ4F_compressFrameBound(len(data), ctypes.byref(prefs))
+    dst = ctypes.create_string_buffer(bound)
+    n = _LIB.LZ4F_compressFrame(dst, bound, data, len(data),
+                                ctypes.byref(prefs))
+    assert not _LIB.LZ4F_isError(n)
+    fr = dst.raw[:n]
+    if len(data) > 65536:  # LZ4F emits an independent FLG when the
+        # content fits a single block (linkage is irrelevant there)
+        assert not (fr[4] & 0x20), "upstream produced an independent frame"
+    return fr
+
+
+def _linked_corpus(rng, n=300_000):
+    """Data whose matches necessarily cross 64KB block boundaries: a long
+    period-40000 repetition means every block after the first matches into
+    the previous block's output."""
+    pat = random_bytes(rng, 40_000, 32)
+    return (pat * (n // len(pat) + 1))[:n]
+
+
+def test_default_refuses_dependent(rng):
+    fr = _upstream_linked_frame(_linked_corpus(rng))
+    with pytest.raises((Lz4Error, Lz4FrameError), match="Dependent block"):
+        frame_mod.decompress_frame(fr)
+    with pytest.raises((Lz4Error, Lz4FrameError), match="Dependent block"):
+        frame_mod.Lz4FrameInputStream(io.BytesIO(fr)).read()
+
+
+@pytest.mark.parametrize("flags", [
+    dict(content_checksum=True),
+    dict(content_checksum=False),
+    dict(content_checksum=True, block_checksum=True),
+    dict(content_checksum=True, content_size=True),
+])
+def test_optin_decodes_upstream_linked_frames(rng, flags):
+    data = _linked_corpus(rng)
+    fr = _upstream_linked_frame(data, **flags)
+    # one-shot (native path when available)
+    assert frame_mod.decompress_frame(fr, allow_dependent_blocks=True) == data
+    # streaming reader path
+    got = frame_mod.Lz4FrameInputStream(
+        io.BytesIO(fr), allow_dependent_blocks=True).read()
+    assert got == data
+
+
+@pytest.mark.parametrize("size", [0, 1, 100, 65536, 65537, 200_000])
+def test_optin_size_sweep(rng, size):
+    """The reference's frame test size sweep shape
+    (LZ4FrameIOStreamTest.java:74-90) over linked frames."""
+    data = _linked_corpus(rng, size) if size else b""
+    fr = _upstream_linked_frame(data)
+    assert frame_mod.decompress_frame(fr, allow_dependent_blocks=True) == data
+
+
+def test_optin_incompressible_blocks(rng):
+    """Random (stored-raw) blocks interleaved with compressible ones: the
+    history window must advance across stored blocks too."""
+    pat = random_bytes(rng, 30_000, 16)
+    data = random_bytes(rng, 70_000, 256) + pat * 6 + \
+        random_bytes(rng, 70_000, 256) + pat * 2
+    fr = _upstream_linked_frame(data)
+    assert frame_mod.decompress_frame(fr, allow_dependent_blocks=True) == data
+
+
+def test_optin_concatenated_frames_reset_window(rng):
+    """The 64KB match window resets at each frame boundary; two linked
+    frames concatenated must decode to the two payloads joined."""
+    a = _linked_corpus(rng, 150_000)
+    b = _linked_corpus(rng, 90_000)
+    fr = _upstream_linked_frame(a) + _upstream_linked_frame(b)
+    assert frame_mod.decompress_frame(fr, allow_dependent_blocks=True) == a + b
+    got = frame_mod.Lz4FrameInputStream(
+        io.BytesIO(fr), allow_dependent_blocks=True).read()
+    assert got == a + b
+
+
+def test_optin_corruption_detected(rng):
+    data = _linked_corpus(rng)
+    fr = bytearray(_upstream_linked_frame(data, content_checksum=True))
+    fr[len(fr) // 2] ^= 0x5A
+    with pytest.raises((Lz4Error, Lz4FrameError)):
+        frame_mod.decompress_frame(bytes(fr), allow_dependent_blocks=True)
+
+
+def test_pure_python_dependent_tier_matches_native(rng):
+    """The pure-Python history-extended decoder must agree with the native
+    path on real upstream linked frames (cross-tier differential)."""
+    data = _linked_corpus(rng, 200_000)
+    fr = _upstream_linked_frame(data, content_checksum=False)
+    # walk the frame by hand, decoding each block through BOTH tiers
+    import struct
+    s = 7  # magic(4) + FLG + BD + HC, no content size
+    history_n = b""
+    history_r = b""
+    out_n = out_r = b""
+    native_ok = True
+    try:
+        from lz4_tpu.api import native_instances  # noqa: F401
+    except Exception:
+        native_ok = False
+    while True:
+        word = struct.unpack_from("<I", fr, s)[0]
+        s += 4
+        if word == 0:
+            break
+        ln = word & 0x7FFFFFFF
+        payload = fr[s:s + ln]
+        s += ln
+        if word & 0x80000000:
+            raw_r = payload
+        else:
+            raw_r = frame_mod._decode_dependent_block_ref(
+                payload, 65536, history_r)
+        history_r = (history_r + raw_r)[-65536:]
+        out_r += raw_r
+        if native_ok:
+            if word & 0x80000000:
+                raw_n = payload
+            else:
+                from lz4_tpu.api.native_instances import (
+                    decompress_block_with_history)
+                raw_n = decompress_block_with_history(payload, 65536,
+                                                      history_n)
+            history_n = (history_n + raw_n)[-65536:]
+            out_n += raw_n
+            assert raw_n == raw_r
+    assert out_r == data
+    if native_ok:
+        assert out_n == data
+
+
+def test_writer_keeps_reference_parity():
+    """Our writer never emits dependent frames: FLG bit 5 is always set
+    (LZ4FrameOutputStream.java:58 sets BLOCK_INDEPENDENCE always)."""
+    out = io.BytesIO()
+    st = frame_mod.Lz4FrameOutputStream(out)
+    st.write(b"hello world" * 100)
+    st.close_keep_underlying()
+    fr = out.getvalue()
+    assert fr[4] & 0x20, "writer must set BLOCK_INDEPENDENCE"
+
+
+def test_malformed_overlong_history_reference_rejected(rng):
+    """A linked block whose match reaches beyond the available history must
+    be rejected, not read out-of-window memory: hand-build a block whose
+    first sequence references 1000 bytes back with only 10 bytes of
+    history."""
+    from lz4_tpu.formats.frame import _decode_dependent_block_ref
+    # token: 4 literals, match len 4; offset 1000
+    blk = bytes([0x40]) + b"abcd" + bytes([0xE8, 0x03]) + bytes([0]) + \
+        b"endlit"  # trailing literals to satisfy end rules loosely
+    with pytest.raises(Lz4Error):
+        _decode_dependent_block_ref(blk, 65536, b"0123456789")
+    try:
+        from lz4_tpu.api.native_instances import (
+            decompress_block_with_history)
+    except Exception:
+        return
+    with pytest.raises(Lz4Error):
+        decompress_block_with_history(blk, 65536, b"0123456789")

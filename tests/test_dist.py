@@ -99,6 +99,10 @@ def test_multihost_scaling_measures():
     assert len(out["trial_efficiencies"]) == 1
     assert 0.1 < out["multihost_efficiency"] < 3.0
     assert out["t_multi_s"] > 0 and out["t_ref_s"] > 0
+    # r5: same-width OS-process ceiling measured alongside (verdict next #5)
+    assert out["t_os_s"] > 0
+    assert 0.1 < out["os_ceiling_efficiency"] < 3.0
+    assert 0.1 < out["multihost_vs_os_ceiling"] < 3.0
 
 
 def test_scaling_control_calibration():
@@ -109,8 +113,13 @@ def test_scaling_control_calibration():
                           trials=2)
     assert set(out["control_efficiency"]) == {"1", "2"}
     assert all(v > 0 for v in out["control_efficiency"].values())
-    assert all(v > 0 for v in out["calibrated_efficiency"].values())
-    assert out["headline_calibrated_efficiency"] > 0
+    # validity-clamped ratio (r4 verdict weak #3): within range the value
+    # is in (0, 1]; outside it the width reports None, never a ratio > 1
+    assert set(out["control_relative_ratio"]) == {"1", "2"}
+    for v in out["control_relative_ratio"].values():
+        assert v is None or 0 < v <= 1.0
+    hv = out["headline_control_relative"]
+    assert hv is None or 0 < hv <= 1.0
 
 
 def test_sharded_hc_byte_parity(mesh, rng):

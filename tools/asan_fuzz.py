@@ -194,8 +194,10 @@ for it in range(N_ITER):
     consumed = ctypes.c_int64(0)
     nt = rng.choice([1, 2, 3])
     fr = mutate(rng.choice(valid_frames)) if rng.random() < 0.7 else data
+    # allow_dependent alternates so mutated FLG bytes that clear the
+    # independence bit exercise the linked-block serial decoder too
     lib.tpulz4_frame_decompress(buf(fr), len(fr), cdest, 700000, nt, 0,
-                                ctypes.byref(consumed))
+                                rng.randrange(2), ctypes.byref(consumed))
     bs = mutate(rng.choice(valid_streams)) if rng.random() < 0.7 else data
     lib.tpulz4_blockstream_decompress(buf(bs), len(bs), cdest, 700000, nt,
                                       rng.randrange(2), ctypes.byref(consumed))
