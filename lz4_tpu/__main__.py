@@ -53,7 +53,8 @@ def cmd_decompress(args):
     from .streams import decompress_stream
     t0 = time.time()
     with open(args.input, "rb") as src, open(args.output, "wb") as dst:
-        n = decompress_stream(src, dst, engine=args.engine)
+        n = decompress_stream(src, dst, engine=args.engine,
+                              allow_dependent=args.allow_dependent)
     dt = time.time() - t0
     print(f"{args.input}: -> {n} bytes, "
           f"{n / max(dt, 1e-9) / 1e6:.1f} MB/s [{args.engine}]")
@@ -131,6 +132,9 @@ def main(argv=None):
     d = sub.add_parser("decompress", help="decode LZ4 frame(s)")
     d.add_argument("input")
     d.add_argument("output")
+    d.add_argument("--allow-dependent", action="store_true",
+                   help="also read linked-block frames (lz4 CLI -BD); "
+                        "refused by default, matching lz4-java")
     d.add_argument("--engine", default="fastest",
                    choices=["fastest", "native", "pallas", "sharded", "safe"])
     d.set_defaults(fn=cmd_decompress)

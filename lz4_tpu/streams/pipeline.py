@@ -296,10 +296,17 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
 
 
 def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
-                      batch_blocks: int = 256) -> int:
+                      batch_blocks: int = 256,
+                      allow_dependent: bool = False) -> int:
     """Decode LZ4 frames (concatenated, with skippables) from ``src`` into
     ``dst``; block payloads are decompressed in engine batches. Returns the
-    number of decompressed bytes written."""
+    number of decompressed bytes written.
+
+    ``allow_dependent=True`` additionally reads linked-block frames (lz4
+    CLI ``-BD``) — those decode serially (each block references up to 64KB
+    of prior output, so there is no batch parallelism to exploit); the
+    default refuses them like the reference.
+    """
     if isinstance(engine, str):
         engine = get_engine(engine)
     written = 0
@@ -333,7 +340,8 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
         first = False
 
         desc = bytearray(read_exact(2))
-        flags = _flg_from_byte(desc[0])
+        flags = _flg_from_byte(desc[0], allow_dependent)
+        dependent = FrameFlag.BLOCK_INDEPENDENCE not in flags
         bsz = _bd_from_byte(desc[1])
         expected_size = -1
         if FrameFlag.CONTENT_SIZE in flags:
@@ -348,6 +356,42 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
                         if FrameFlag.CONTENT_CHECKSUM in flags else None)
         bs = bsz.num_bytes
         total = 0
+
+        if dependent:
+            # linked-block frame body: serial history-carried decode (no
+            # batch parallelism exists — block i references block i-1)
+            from ..formats.frame import _decode_dependent_block
+            history = b""
+            while True:
+                size_word = _U32.unpack(read_exact(4))[0]
+                compressed = (size_word & INCOMPRESSIBLE_MASK) == 0
+                block_size = size_word & ~INCOMPRESSIBLE_MASK
+                if block_size == 0:
+                    if content_hash is not None:
+                        expect = _U32.unpack(read_exact(4))[0]
+                        if expect != (content_hash.get_value() & 0xFFFFFFFF):
+                            raise Lz4FrameError("Content checksum mismatch")
+                    if 0 <= expected_size != total:
+                        raise Lz4FrameError("Size check mismatch")
+                    break
+                if block_size > bs:
+                    raise Lz4FrameError(
+                        f"Block size {block_size} exceeded max: {bs}")
+                payload = read_exact(block_size)
+                if FrameFlag.BLOCK_CHECKSUM in flags:
+                    expect = _U32.unpack(read_exact(4))[0]
+                    if expect != _hash32(payload):
+                        raise Lz4FrameError("Block checksum mismatch")
+                raw = (_decode_dependent_block(payload, bs, history)
+                       if compressed else payload)
+                history = (history + bytes(raw))[-65536:]
+                if content_hash is not None:
+                    content_hash.update(raw)
+                dst.write(raw)
+                written += len(raw)
+                total += len(raw)
+            continue
+
         pending: list[tuple[bool, bytes]] = []
 
         def flush_pending():

@@ -197,6 +197,38 @@ def test_pure_python_dependent_tier_matches_native(rng):
         assert out_n == data
 
 
+def test_pipeline_and_cli_dependent_paths(rng, tmp_path):
+    """The batch streaming pipeline and the CLI expose the opt-in too."""
+    import subprocess
+    import sys
+
+    from lz4_tpu.streams import decompress_stream
+
+    data = _linked_corpus(rng, 200_000)
+    fr = _upstream_linked_frame(data, block_checksum=True)
+    # pipeline: refused by default, serial decode with the opt-in
+    with pytest.raises((Lz4Error, Lz4FrameError), match="Dependent block"):
+        decompress_stream(io.BytesIO(fr), io.BytesIO())
+    out = io.BytesIO()
+    n = decompress_stream(io.BytesIO(fr), out, allow_dependent=True)
+    assert n == len(data) and out.getvalue() == data
+
+    # CLI: --allow-dependent
+    src = tmp_path / "in.lz4"
+    dst = tmp_path / "out.bin"
+    src.write_bytes(fr)
+    r = subprocess.run(
+        [sys.executable, "-m", "lz4_tpu", "decompress", str(src), str(dst)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode != 0  # refused by default
+    r = subprocess.run(
+        [sys.executable, "-m", "lz4_tpu", "decompress", "--allow-dependent",
+         str(src), str(dst)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert dst.read_bytes() == data
+
+
 def test_writer_keeps_reference_parity():
     """Our writer never emits dependent frames: FLG bit 5 is always set
     (LZ4FrameOutputStream.java:58 sets BLOCK_INDEPENDENCE always)."""
