@@ -656,6 +656,44 @@ def bench_tpu_parallel_compress(corpus: bytes, block_len: int = 65536,
                     f"unavailable: {type(e).__name__}: {e}"}
 
 
+def bench_tpu_transfer(size_mb: int = 8, trials: int = 5):
+    """Host->device transfer rate and its host-CPU cost through the axon
+    tunnel — the driver-visible evidence for the device-checksum-offload
+    closure (r4 verdict next #1; analysis in docs/PERF.md): transfers are
+    cheap (~GB/s wall at a few % host CPU), but the frame content checksum
+    is a non-associative serial reduction that cannot ride the
+    block-parallel Mosaic hash kernels, and per-block checksums would need
+    a byte-offset-addressed kernel to avoid a host-side repack costing as
+    much as the hash itself."""
+    try:
+        import numpy as np
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return None
+        d = jax.devices()[0]
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, size_mb << 20, dtype=np.uint8)
+        jax.device_put(a, d).block_until_ready()  # warm
+        best = float("inf")
+        for _ in range(trials):
+            b = rng.integers(0, 255, size_mb << 20, dtype=np.uint8)
+            t0 = time.perf_counter()
+            jax.device_put(b, d).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        # host CPU share of the transfer wall time
+        b = rng.integers(0, 255, size_mb << 20, dtype=np.uint8)
+        t_cpu0, t0 = time.process_time(), time.perf_counter()
+        for i in range(trials):
+            b[0] = i  # distinct content defeats relay memoization
+            jax.device_put(b, d).block_until_ready()
+        wall = time.perf_counter() - t0
+        cpu = time.process_time() - t_cpu0
+        return {"tpu_h2d_gbps": round(size_mb / 1024 / best, 3),
+                "tpu_h2d_host_cpu_fraction": round(cpu / wall, 3)}
+    except Exception as e:
+        return {"tpu_h2d_gbps": f"unavailable: {type(e).__name__}"}
+
+
 def bench_tpu_xxh32(**kw):
     """Pallas xxh32 kernel throughput on the accelerator."""
     try:
@@ -785,6 +823,7 @@ def main():
     multihost = bench_multihost_scaling()
     tpu_seg = bench_tpu_segment_decode(corpus)
     tpu_par = bench_tpu_parallel_compress(corpus) or {}
+    tpu_xfer = bench_tpu_transfer() or {}
     tpu_hash = bench_tpu_xxh32()
     tpu_hash64 = bench_tpu_xxh64()
 
@@ -815,6 +854,7 @@ def main():
                                         if isinstance(tpu_seg, float)
                                         else tpu_seg),
             **tpu_par,
+            **tpu_xfer,
             "tpu_xxh32_kernel_gbps": (round(tpu_hash, 1)
                                       if isinstance(tpu_hash, float) else tpu_hash),
             "tpu_xxh64_kernel_gbps": (round(tpu_hash64, 1)
