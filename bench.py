@@ -209,15 +209,24 @@ def bench_native_formats(corpus: bytes):
     # --- compress family (interleaved): raw packed baseline + containers,
     # 64KB blocks, plus the 4MB-frame configs (fast and turbo) ---
     cbuf = bytearray(len(comp))
+    # reusable dest buffers: every compress variant measures the zero-
+    # alloc data plane (a fresh bytearray per call costs ~8% — PERF.md)
+    _nlib = ni.bindings.load()
+    frbuf = bytearray(max(
+        int(_nlib.tpulz4_frame_compress_bound(len(data), 4)),
+        int(_nlib.tpulz4_frame_compress_bound(len(data), 7))))
+    bsbuf = bytearray(int(
+        _nlib.tpulz4_blockstream_compress_bound(len(data), BLOCK)))
     comp_variants = [
         ("rawc64", lambda: ni.compress_fast_packed(data, BLOCK, dest=cbuf)),
         ("frc64", lambda: ni.compress_frame_packed(
-            data, 4, ni.F_CONTENT_CHECKSUM)),
-        ("bsc64", lambda: ni.compress_block_stream_packed(data, BLOCK)),
+            data, 4, ni.F_CONTENT_CHECKSUM, dest=frbuf)),
+        ("bsc64", lambda: ni.compress_block_stream_packed(data, BLOCK,
+                                                          dest=bsbuf)),
         ("frc4", lambda: ni.compress_frame_packed(
-            data, 7, ni.F_CONTENT_CHECKSUM)),
+            data, 7, ni.F_CONTENT_CHECKSUM, dest=frbuf)),
         ("frturbo4", lambda: ni.compress_frame_packed(
-            data, 7, ni.F_CONTENT_CHECKSUM, level=-1)),
+            data, 7, ni.F_CONTENT_CHECKSUM, level=-1, dest=frbuf)),
     ]
     for _, fn in comp_variants:
         fn()

@@ -503,7 +503,7 @@ def _raise_frame_error(code: int, what: str):
 
 
 def compress_frame_packed(data, block_size_id: int = 7, flags: int = 0,
-                          level: int = 0, n_threads=None) -> bytes:
+                          level: int = 0, n_threads=None, dest=None):
     """One native call: block-split, compress (threaded), assemble frame.
 
     ``level`` 0 = fast scan, 1..17 = HC, -1 = opt-in turbo heuristic (valid
@@ -511,12 +511,30 @@ def compress_frame_packed(data, block_size_id: int = 7, flags: int = 0,
     see :class:`TurboCompressor`). ``flags`` is a bitmask of
     F_CONTENT_CHECKSUM / F_BLOCK_CHECKSUM / F_CONTENT_SIZE. Byte-identical
     to the Python frame writer with the same options (levels >= 0).
+    Pass ``dest`` (a reusable writable buffer of at least
+    ``tpulz4_frame_compress_bound``) to skip the per-call allocation and
+    copy; the return is then a memoryview of ``dest``.
     """
     import os
     n_threads = n_threads or (os.cpu_count() or 1)
     bound = _lib.tpulz4_frame_compress_bound(len(data), block_size_id)
     if bound < 0:
         _raise_frame_error(int(bound), "frame_compress_bound")
+    if dest is not None:
+        # reusable-buffer path: no per-call allocation, no bytes copy (the
+        # page-zeroing of a fresh ~1.04x-input bytearray plus the final
+        # copy cost ~8% of a whole container compress — measured r5)
+        if len(dest) < bound:
+            raise ValueError(f"dest too small: need {bound}, got {len(dest)}")
+        s_addr, s_keep = _base_addr(data)
+        d_addr, d_keep = _wbase_addr(dest)
+        n = _lib.tpulz4_frame_compress(
+            _ptr(s_addr, 0), len(data), block_size_id, flags, level,
+            _ptr(d_addr, 0), len(dest), n_threads)
+        del s_keep, d_keep
+        if n < 0:
+            _raise_frame_error(int(n), "frame_compress")
+        return memoryview(dest)[:int(n)]
     dest = bytearray(int(bound))
     s_addr, s_keep = _base_addr(data)
     d_addr, d_keep = _wbase_addr(dest)
@@ -602,18 +620,25 @@ def decompress_block_with_history(comp, out_max: int, history) -> bytes:
 
 
 def compress_block_stream_packed(data, block_size: int = 1 << 16,
-                                 n_threads=None) -> bytes:
+                                 n_threads=None, dest=None):
     """One native call: complete LZ4Block stream (blocks + end marker).
 
     Byte-identical to ``Lz4BlockOutputStream`` with default compressor and
     checksum (fast scan; xxh32 seed 0x9747b28c masked to 28 bits).
+    Pass ``dest`` (a reusable writable buffer of at least the bound) to
+    skip the per-call allocation and copy; the return is then a memoryview
+    of ``dest``.
     """
     import os
     n_threads = n_threads or (os.cpu_count() or 1)
     bound = _lib.tpulz4_blockstream_compress_bound(len(data), block_size)
     if bound < 0:
         _raise_error(int(bound), "blockstream_compress_bound")
-    dest = bytearray(int(bound))
+    reuse = dest is not None
+    if reuse and len(dest) < bound:
+        raise ValueError(f"dest too small: need {bound}, got {len(dest)}")
+    if not reuse:
+        dest = bytearray(int(bound))
     s_addr, s_keep = _base_addr(data)
     d_addr, d_keep = _wbase_addr(dest)
     n = _lib.tpulz4_blockstream_compress(
@@ -622,6 +647,8 @@ def compress_block_stream_packed(data, block_size: int = 1 << 16,
     del s_keep, d_keep
     if n < 0:
         _raise_frame_error(int(n), "blockstream_compress")
+    if reuse:
+        return memoryview(dest)[:int(n)]
     del dest[int(n):]
     return bytes(dest)
 

@@ -191,6 +191,32 @@ def test_hc_tight_dest_long_match_ext_bytes(level):
             assert rc == need and out[:need] == exact[:need]
 
 
+def test_container_compress_dest_reuse(rng):
+    """compress_frame_packed / compress_block_stream_packed with a caller
+    buffer produce bytes identical to the allocating path (the zero-alloc
+    data plane the bench measures), and reject undersized buffers."""
+    from lz4_tpu.api import native_instances as ni
+    from lz4_tpu.native import bindings
+
+    data = random_bytes(rng, 300_000, 16)
+    lib = bindings.load()
+    for bsid in (4, 7):
+        want = ni.compress_frame_packed(data, bsid, ni.F_CONTENT_CHECKSUM)
+        buf = bytearray(int(lib.tpulz4_frame_compress_bound(len(data), bsid)))
+        got = ni.compress_frame_packed(data, bsid, ni.F_CONTENT_CHECKSUM,
+                                       dest=buf)
+        assert bytes(got) == want
+        with pytest.raises(ValueError):
+            ni.compress_frame_packed(data, bsid, 0, dest=bytearray(10))
+    want = ni.compress_block_stream_packed(data, 65536)
+    buf = bytearray(int(
+        lib.tpulz4_blockstream_compress_bound(len(data), 65536)))
+    got = ni.compress_block_stream_packed(data, 65536, dest=buf)
+    assert bytes(got) == want
+    with pytest.raises(ValueError):
+        ni.compress_block_stream_packed(data, 65536, dest=bytearray(10))
+
+
 def test_native_xxhash_matches_safe(rng):
     sf = XXHashFactory.safe_instance()
     nf = XXHashFactory.native_instance()
