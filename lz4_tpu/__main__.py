@@ -50,11 +50,29 @@ def cmd_compress(args):
 
 
 def cmd_decompress(args):
-    from .streams import decompress_stream
     t0 = time.time()
-    with open(args.input, "rb") as src, open(args.output, "wb") as dst:
-        n = decompress_stream(src, dst, engine=args.engine,
-                              allow_dependent=args.allow_dependent)
+    if args.dict:
+        # dictionary decode routes through the frame reader (per-block
+        # window seeding is serial by nature)
+        from .formats.frame import Lz4FrameInputStream
+        with open(args.dict, "rb") as f:
+            dictionary = f.read()
+        with open(args.input, "rb") as src, open(args.output, "wb") as dst:
+            reader = Lz4FrameInputStream(
+                src, allow_dependent_blocks=args.allow_dependent,
+                dictionary=dictionary)
+            n = 0
+            while True:
+                chunk = reader.read(1 << 20)
+                if not chunk:
+                    break
+                dst.write(chunk)
+                n += len(chunk)
+    else:
+        from .streams import decompress_stream
+        with open(args.input, "rb") as src, open(args.output, "wb") as dst:
+            n = decompress_stream(src, dst, engine=args.engine,
+                                  allow_dependent=args.allow_dependent)
     dt = time.time() - t0
     print(f"{args.input}: -> {n} bytes, "
           f"{n / max(dt, 1e-9) / 1e6:.1f} MB/s [{args.engine}]")
@@ -135,6 +153,9 @@ def main(argv=None):
     d.add_argument("--allow-dependent", action="store_true",
                    help="also read linked-block frames (lz4 CLI -BD); "
                         "refused by default, matching lz4-java")
+    d.add_argument("-D", "--dict", metavar="FILE",
+                   help="dictionary file for dictionary frames "
+                        "(lz4 CLI -D); accepts the DictID header field")
     d.add_argument("--engine", default="fastest",
                    choices=["fastest", "native", "pallas", "sharded", "safe"])
     d.set_defaults(fn=cmd_decompress)

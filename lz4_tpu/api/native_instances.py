@@ -499,6 +499,10 @@ def _raise_frame_error(code: int, what: str):
         raise Lz4FrameError("Block size must be 4-7")
     if code == bindings.E_FRAME_BLOCK_TOO_BIG:
         raise Lz4FrameError("Block size exceeded max block size")
+    if code == bindings.E_FRAME_DICTID:
+        raise Lz4FrameError(
+            "Reserved bits must be 0 (bit 0 is DictID in frame spec "
+            "v1.6+ — pass dictionary= to read dictionary frames)")
     _raise_error(code, what)
 
 

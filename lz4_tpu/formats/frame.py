@@ -38,7 +38,13 @@ _U64 = struct.Struct("<Q")
 
 
 class FrameFlag(enum.IntEnum):
-    """FLG bit positions (LZ4FrameOutputStream.java:313-321)."""
+    """FLG bit positions (LZ4FrameOutputStream.java:313-321).
+
+    DICT_ID (bit 0, frame spec v1.6+) is decode-side only: the reference
+    treats it as reserved and so does this writer; readers accept it when
+    a dictionary is supplied (see Lz4FrameInputStream).
+    """
+    DICT_ID = 0
     CONTENT_CHECKSUM = 2
     CONTENT_SIZE = 3
     BLOCK_CHECKSUM = 4
@@ -76,12 +82,20 @@ def _flg_to_byte(flags: frozenset[FrameFlag]) -> int:
     return b
 
 
-def _flg_from_byte(b: int, allow_dependent: bool = False) -> frozenset[FrameFlag]:
+def _flg_from_byte(b: int, allow_dependent: bool = False,
+                   allow_dict_id: bool = False) -> frozenset[FrameFlag]:
     version = (b >> 6) & 3
     if version != _VERSION:
         raise Lz4FrameError(f"Version {version} is unsupported")
-    if b & 0b11:
+    if b & 0b10:
         raise Lz4FrameError("Reserved bits must be 0")
+    if (b & 0b01) and not allow_dict_id:
+        # bit 0 is DictID in frame spec v1.6+; the reference (v1.5.1)
+        # treats it as reserved. Readers accept it when a dictionary is
+        # supplied (decode-side extension).
+        raise Lz4FrameError(
+            "Reserved bits must be 0 (bit 0 is DictID in frame spec "
+            "v1.6+ — pass dictionary= to read dictionary frames)")
     flags = frozenset(f for f in FrameFlag if b & (1 << f.value))
     if FrameFlag.BLOCK_INDEPENDENCE not in flags and not allow_dependent:
         # reference behavior (LZ4FrameOutputStream.java:361-363); readers
@@ -111,6 +125,10 @@ class Lz4FrameOutputStream(io.RawIOBase):
                  compressor=None, checksum=None):
         super().__init__()
         self._out = out
+        if FrameFlag.DICT_ID in frozenset(features):
+            raise Lz4FrameError(
+                "Dictionary frames are read-only (the writer keeps "
+                "reference parity and never emits a dictID)")
         flags = frozenset(features) | {FrameFlag.BLOCK_INDEPENDENCE}
         if known_size >= 0:
             flags = flags | {FrameFlag.CONTENT_SIZE}
@@ -210,7 +228,8 @@ class Lz4FrameInputStream(io.RawIOBase):
 
     def __init__(self, inp, read_single_frame: bool = False,
                  decompressor=None, checksum=None,
-                 allow_dependent_blocks: bool = False):
+                 allow_dependent_blocks: bool = False,
+                 dictionary: bytes | None = None):
         super().__init__()
         self._in = inp
         self._read_single_frame = read_single_frame
@@ -222,6 +241,14 @@ class Lz4FrameInputStream(io.RawIOBase):
         # (LZ4FrameOutputStream.java:361-363)
         self._allow_dependent = allow_dependent_blocks
         self._dependent = False
+        # opt-in dictionary decode (lz4 CLI -D, LZ4F usingDict): the last
+        # 64KB of the dictionary seeds the match window of every
+        # independent block (and the initial window of a linked frame).
+        # Supplying a dictionary also accepts the DictID header field
+        # (spec v1.6+ bit 0, reserved in the reference's v1.5.1).
+        self._dict_tail = bytes(dictionary)[-65536:] if dictionary else b""
+        self._has_dict = dictionary is not None
+        self._dict_id: int | None = None
         self._history = b""  # last 64KB of this frame's decoded output
         self._buffer = b""
         self._pos = 0
@@ -244,6 +271,12 @@ class Lz4FrameInputStream(io.RawIOBase):
         Counterpart of ``getExpectedContentSize`` (LZ4FrameInputStream.java:416-445).
         """
         return self._expected_content_size
+
+    @property
+    def dict_id(self) -> int | None:
+        """DictID declared in the current frame header (spec v1.6+ bit 0),
+        or None. Only populated when a dictionary was supplied."""
+        return self._dict_id
 
     def _read_exact(self, n: int, *, allow_eof_at_start: bool = False):
         data = b""
@@ -274,9 +307,11 @@ class Lz4FrameInputStream(io.RawIOBase):
 
     def _read_header(self) -> None:
         desc = bytearray(self._read_exact(2))
-        self._flags = _flg_from_byte(desc[0], self._allow_dependent)
+        self._flags = _flg_from_byte(desc[0], self._allow_dependent,
+                                     self._has_dict)
         self._dependent = FrameFlag.BLOCK_INDEPENDENCE not in self._flags
-        self._history = b""  # the linked-match window resets per frame
+        # the match window resets per frame; a dictionary seeds it
+        self._history = self._dict_tail
         block_size = _bd_from_byte(desc[1])
         if FrameFlag.CONTENT_SIZE in self._flags:
             raw = self._read_exact(8)
@@ -284,6 +319,12 @@ class Lz4FrameInputStream(io.RawIOBase):
             self._expected_content_size = _U64.unpack(raw)[0]
         else:
             self._expected_content_size = -1
+        if FrameFlag.DICT_ID in self._flags:
+            raw = self._read_exact(4)
+            desc += raw  # dictID is covered by the header checksum
+            self._dict_id = _U32.unpack(raw)[0]
+        else:
+            self._dict_id = None
         self._total_content_size = 0
         expected_hc = self._read_exact(1)[0]
         hc = ((self._checksum.hash(bytes(desc), 0, len(desc), 0) & 0xFFFFFFFF) >> 8) & 0xFF
@@ -325,6 +366,12 @@ class Lz4FrameInputStream(io.RawIOBase):
         if compressed and self._dependent:
             raw = _decode_dependent_block(payload, self._max_block,
                                           self._history)
+        elif compressed and self._has_dict:
+            # independent blocks with a dictionary: every block's window
+            # is seeded with the dictionary tail (LZ4F usingDict
+            # semantics), never with previous blocks' output
+            raw = _decode_dependent_block(payload, self._max_block,
+                                          self._dict_tail)
         elif compressed:
             raw = self._decompressor.decompress_alloc(
                 payload, 0, block_size, self._max_block)
@@ -431,14 +478,25 @@ def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
 
 
 def decompress_frame(data, read_single_frame: bool = False,
-                     allow_dependent_blocks: bool = False) -> bytes:
+                     allow_dependent_blocks: bool = False,
+                     dictionary: bytes | None = None) -> bytes:
     """One-shot: decode one or more concatenated LZ4 frames.
 
     Routed through the native one-call frame codec (parse + threaded block
     decode + checksum verification in C++) when available.
     ``allow_dependent_blocks=True`` additionally reads linked-block frames
     (lz4 CLI ``-BD``); the default refuses them like the reference.
+    ``dictionary`` enables dictionary-frame decode (lz4 CLI ``-D``, LZ4F
+    usingDict): the dictionary tail seeds each block's match window, and
+    the DictID header field is accepted. Dictionary decode runs through
+    the stream reader (per-block window seeding is serial by nature).
     """
+    if dictionary is not None:
+        stream = Lz4FrameInputStream(
+            io.BytesIO(data), read_single_frame=read_single_frame,
+            allow_dependent_blocks=allow_dependent_blocks,
+            dictionary=dictionary)
+        return stream.read()
     try:
         from ..api import native_instances as ni
         out, _ = ni.decompress_frame_packed(

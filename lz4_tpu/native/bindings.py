@@ -26,6 +26,7 @@ E_FRAME_DEPENDENT = -7
 E_FRAME_RESERVED = -8
 E_FRAME_BLOCKSIZE = -9
 E_FRAME_BLOCK_TOO_BIG = -10
+E_FRAME_DICTID = -11
 
 
 def load():

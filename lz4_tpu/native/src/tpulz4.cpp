@@ -1693,6 +1693,7 @@ constexpr int TPULZ4_E_FRAME_DEPENDENT = -7;
 constexpr int TPULZ4_E_FRAME_RESERVED = -8;
 constexpr int TPULZ4_E_FRAME_BLOCKSIZE = -9;
 constexpr int TPULZ4_E_FRAME_BLOCK_TOO_BIG = -10;
+constexpr int TPULZ4_E_FRAME_DICTID = -11;  // FLG bit 0 (DictID, spec v1.6+)
 
 constexpr uint32_t FRAME_MAGIC = 0x184D2204u;
 constexpr uint32_t FRAME_MAGIC_SKIPPABLE = 0x184D2A50u;
@@ -1982,7 +1983,10 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
     uint8_t bd = src[s + 1];
     s += 2;
     if (((flg >> 6) & 3) != 1) return TPULZ4_E_FRAME_VERSION;
-    if (flg & 0b11) return TPULZ4_E_FRAME_RESERVED;
+    if (flg & 0b10) return TPULZ4_E_FRAME_RESERVED;
+    // DictID frames (spec v1.6+ bit 0) need the caller-supplied
+    // dictionary; route through the Python reader (formats/frame.py)
+    if (flg & 0b01) return TPULZ4_E_FRAME_DICTID;
     const bool dependent = !(flg & (1 << 5));
     if (dependent && !allow_dependent) return TPULZ4_E_FRAME_DEPENDENT;
     if (bd & 0x8F) return TPULZ4_E_FRAME_RESERVED;
