@@ -142,6 +142,16 @@ def test_optin_concatenated_frames_reset_window(rng):
     assert got == a + b
 
 
+def test_optin_highly_compressible_grow_retry():
+    """A linked frame whose content is far larger than 4x its compressed
+    size drives the one-shot decoder's grow-retry loop through the serial
+    dependent path (DEST_TOO_SMALL surfacing from a clamped slot)."""
+    data = bytes(3 << 20)  # zeros: ratio >> 4x
+    fr = _upstream_linked_frame(data)
+    assert len(fr) * 4 < len(data)
+    assert frame_mod.decompress_frame(fr, allow_dependent_blocks=True) == data
+
+
 def test_optin_corruption_detected(rng):
     data = _linked_corpus(rng)
     fr = bytearray(_upstream_linked_frame(data, content_checksum=True))
