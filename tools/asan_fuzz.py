@@ -73,6 +73,25 @@ for i in range(8):
     assert n > 0, n
     valid_streams.append(bytes(fout[:n]))
 
+# valid LINKED-frame seeds: clear FLG bit 5 and recompute the descriptor
+# hash so mutations reach the serial history-extended decoder instead of
+# dying at the header-checksum gate (independent-frame block bodies are
+# valid linked bodies — they just never reference history; what matters
+# is that the dependent decode path runs on plausible and mutated input)
+lib.tpulz4_xxh32.restype = ctypes.c_uint32
+for fr in list(valid_frames):
+    b = bytearray(fr)
+    flg = b[4] & ~0x20
+    desc_len = 2 + (8 if flg & 0x08 else 0)
+    b[4] = flg
+    b[4 + desc_len] = (lib.tpulz4_xxh32(buf(bytes(b[4:4 + desc_len])),
+                                        desc_len, 0) >> 8) & 0xFF
+    consumed0 = ctypes.c_int64(0)
+    r = lib.tpulz4_frame_decompress(buf(bytes(b)), len(b), fout, fcap, 2,
+                                    0, 1, ctypes.byref(consumed0))
+    assert r > 0, r  # must decode as a linked frame
+    valid_frames.append(bytes(b))
+
 def mutate(b):
     b = bytearray(b)
     for _ in range(rng.randrange(1, 10)):
