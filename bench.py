@@ -123,9 +123,42 @@ def _decode_ab_vs_liblz4(corpus: bytes):
         for a in lib_args:
             f(*a)
 
+    ratios = _alternating_ab(run_ours, run_lib)
+    out = {"decode_speed_vs_liblz4_1core": round(
+        statistics.median(ratios), 3)}
+
+    # same protocol for the identity fast-scan compressor (64KB blocks)
+    bound = lib.LZ4_compressBound(BLOCK)
+    cbuf = ctypes.create_string_buffer(bound)
+    cbuf_p = ctypes.cast(cbuf, u8p)
+    raw_blocks = [data[o:o + BLOCK] for o in range(0, len(data), BLOCK)]
+    raw_srcs = [ctypes.create_string_buffer(b, len(b)) for b in raw_blocks]
+    c_ours = [(ctypes.cast(s, u8p), len(b), cbuf_p, bound)
+              for s, b in zip(raw_srcs, raw_blocks)]
+    c_lib = [(s, cbuf, len(b), bound) for s, b in zip(raw_srcs, raw_blocks)]
+
+    def comp_ours():
+        f = nlib.tpulz4_compress_fast
+        for a in c_ours:
+            f(*a)
+
+    def comp_lib():
+        f = lib.LZ4_compress_default
+        for a in c_lib:
+            f(*a)
+
+    ratios = _alternating_ab(comp_ours, comp_lib)
+    out["compress_speed_vs_liblz4_1core"] = round(
+        statistics.median(ratios), 3)
+    return out
+
+
+def _alternating_ab(run_ours, run_lib, reps: int = 10):
+    """Median-friendly paired A/B: run both sides back-to-back each rep,
+    alternating order (the second runner reads cache-warmed data), and
+    return per-rep time ratios t_lib/t_ours (>1 => ours faster)."""
     ratios = []
-    for rep in range(10):
-        # alternate order: the second runner reads cache-warmed source
+    for rep in range(reps):
         first, second = (run_ours, run_lib) if rep % 2 == 0 else (
             run_lib, run_ours)
         t0 = time.perf_counter()
@@ -135,9 +168,8 @@ def _decode_ab_vs_liblz4(corpus: bytes):
         t2 = time.perf_counter()
         t_ours, t_lib = ((t1 - t0, t2 - t1) if rep % 2 == 0
                          else (t2 - t1, t1 - t0))
-        ratios.append(t_lib / t_ours)  # >1 => ours faster
-    return {"decode_speed_vs_liblz4_1core": round(
-        statistics.median(ratios), 3)}
+        ratios.append(t_lib / t_ours)
+    return ratios
 
 
 def _bench_kernel_amortized(dynseed_fn, seed_shape, n: int = 4096,
