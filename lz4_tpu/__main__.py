@@ -36,11 +36,34 @@ def cmd_compress(args):
             raise SystemExit("--turbo and --level are mutually exclusive")
         level = -1
     t0 = time.time()
-    with open(args.input, "rb") as src, open(args.output, "wb") as dst:
-        n = compress_stream(src, dst, block_size=args.block_size,
-                            engine=args.engine,
-                            content_checksum=not args.no_frame_crc,
-                            level=level)
+    if getattr(args, "dict", None):
+        # dictionary frames route through the frame writer (per-block
+        # dict-window seeding; see formats/frame.py)
+        if level != 0:
+            raise SystemExit("-D supports the default fast level only")
+        from .formats.frame import (FrameFlag, Lz4FrameOutputStream,
+                                    DEFAULT_FEATURES)
+        with open(args.dict, "rb") as f:
+            dictionary = f.read()
+        feats = DEFAULT_FEATURES if args.no_frame_crc else (
+            FrameFlag.BLOCK_INDEPENDENCE, FrameFlag.CONTENT_CHECKSUM)
+        with open(args.input, "rb") as src, open(args.output, "wb") as dst:
+            w = Lz4FrameOutputStream(dst, block_size=args.block_size,
+                                     features=feats, dictionary=dictionary,
+                                     dict_id=args.dict_id)
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                w.write(chunk)
+            w.close_keep_underlying()
+            n = dst.tell()
+    else:
+        with open(args.input, "rb") as src, open(args.output, "wb") as dst:
+            n = compress_stream(src, dst, block_size=args.block_size,
+                                engine=args.engine,
+                                content_checksum=not args.no_frame_crc,
+                                level=level)
     dt = time.time() - t0
     import os
     in_size = os.path.getsize(args.input)
@@ -143,6 +166,12 @@ def main(argv=None):
                    help="opt-in modern-heuristic fast mode (native tier; "
                         "valid frames, not byte-identical to the default "
                         "algorithm for blocks > 64KB)")
+    c.add_argument("-D", "--dict", metavar="FILE",
+                   help="compress against a dictionary (writes a "
+                        "dictionary frame; lz4 CLI -D analog)")
+    c.add_argument("--dict-id", type=lambda v: int(v, 0), default=None,
+                   help="record this DictID in the frame header "
+                        "(requires -D)")
     c.add_argument("--no-frame-crc", action="store_true",
                    help="omit the content checksum")
     c.set_defaults(fn=cmd_compress)

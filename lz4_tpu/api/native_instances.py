@@ -603,6 +603,30 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
         return bytes(dest), int(consumed.value)
 
 
+def compress_block_with_dict(data, dictionary) -> bytes:
+    """Compress one block whose matches may reference the (≤64KB tail of
+    the) dictionary — the write-side counterpart of
+    :func:`decompress_block_with_history`. Output is a valid LZ4 block
+    decodable by the history-extended decoder and by upstream LZ4
+    usingDict; there is no byte-identity contract (the reference has no
+    dictionary support at all)."""
+    hist = bytes(dictionary)[-65536:]
+    h = len(hist)
+    buf = bytearray(h + len(data))
+    buf[:h] = hist
+    buf[h:] = data
+    cap = max_compressed_length(len(data))
+    dest = bytearray(cap)
+    s_addr, s_keep = _wbase_addr(buf)
+    d_addr, d_keep = _wbase_addr(dest)
+    n = _lib.tpulz4_compress_fast_ext(
+        _ptr(s_addr, h), len(data), h, _ptr(d_addr, 0), cap)
+    del s_keep, d_keep
+    if n < 0:
+        _raise_error(int(n), "compress_block_with_dict")
+    return bytes(dest[:int(n)])
+
+
 def decompress_block_with_history(comp, out_max: int, history) -> bytes:
     """Decode one linked-mode block: matches may reference up to
     ``len(history)`` bytes of previously decoded output (64KB window).

@@ -122,14 +122,33 @@ class Lz4FrameOutputStream(io.RawIOBase):
     def __init__(self, out, block_size: BlockSize = BlockSize.SIZE_4MB,
                  known_size: int = -1,
                  features: tuple[FrameFlag, ...] = DEFAULT_FEATURES,
-                 compressor=None, checksum=None):
+                 compressor=None, checksum=None,
+                 dictionary: bytes | None = None,
+                 dict_id: int | None = None):
+        """``dictionary`` opts into writing dictionary frames (the
+        write-side of the round-5 reader extension; the reference has no
+        dictionary support): every block's match window is seeded with the
+        dictionary tail, and ``dict_id`` (optional) is recorded as the
+        spec-v1.6 DictID header field. Blocks stay independent. Without
+        the native tier, blocks are written WITHOUT dict-referencing
+        matches (still a valid dictionary frame — ratio degrades, bytes
+        decode identically). The default (no dictionary) keeps exact
+        reference parity and refuses the DICT_ID feature flag."""
         super().__init__()
         self._out = out
-        if FrameFlag.DICT_ID in frozenset(features):
+        if FrameFlag.DICT_ID in frozenset(features) and dictionary is None:
             raise Lz4FrameError(
-                "Dictionary frames are read-only (the writer keeps "
-                "reference parity and never emits a dictID)")
+                "DICT_ID requires a dictionary (the parity writer never "
+                "emits a dictID)")
+        if dict_id is not None and dictionary is None:
+            raise Lz4FrameError("dict_id requires a dictionary")
+        self._dict_tail = bytes(dictionary)[-65536:] if dictionary else None
+        self._dict_id = dict_id
         flags = frozenset(features) | {FrameFlag.BLOCK_INDEPENDENCE}
+        if dict_id is not None:
+            flags = flags | {FrameFlag.DICT_ID}
+        else:
+            flags = flags - {FrameFlag.DICT_ID}
         if known_size >= 0:
             flags = flags | {FrameFlag.CONTENT_SIZE}
         self._flags = flags
@@ -157,6 +176,8 @@ class Lz4FrameOutputStream(io.RawIOBase):
         desc.append((self._block_size.value & 7) << 4)
         if FrameFlag.CONTENT_SIZE in self._flags:
             desc += _U64.pack(self._known_size)
+        if FrameFlag.DICT_ID in self._flags:
+            desc += _U32.pack(self._dict_id)
         hc = ((self._checksum.hash(bytes(desc), 0, len(desc), 0) & 0xFFFFFFFF) >> 8) & 0xFF
         self._out.write(_U32.pack(MAGIC) + bytes(desc) + bytes([hc]))
 
@@ -180,6 +201,24 @@ class Lz4FrameOutputStream(io.RawIOBase):
         n = len(self._buffer)
         if self._content_hash is not None:
             self._content_hash.update(self._buffer, 0, n)
+        if self._dict_tail is not None:
+            try:
+                from ..api import native_instances as ni
+                comp = ni.compress_block_with_dict(bytes(self._buffer),
+                                                   self._dict_tail)
+            except (ImportError, NativeBuildError):
+                # no native tier: a dict frame without dict-referencing
+                # matches is still valid — ratio degrades, bytes decode
+                # identically with or without the dictionary
+                comp = None
+            if comp is not None and len(comp) < n:
+                self._out.write(_U32.pack(len(comp)))
+                self._out.write(comp)
+                if FrameFlag.BLOCK_CHECKSUM in self._flags:
+                    h = self._checksum.hash(comp, 0, len(comp), 0) & 0xFFFFFFFF
+                    self._out.write(_U32.pack(h))
+                self._buffer.clear()
+                return
         compressed_len = self._compressor.compress(
             self._buffer, 0, n, self._compressed, 0, len(self._compressed))
         if compressed_len >= n:
@@ -446,13 +485,29 @@ def _decode_dependent_block(payload, out_max: int, history) -> bytes:
 
 def compress_frame(data, block_size: BlockSize = BlockSize.SIZE_4MB,
                    features: tuple[FrameFlag, ...] = DEFAULT_FEATURES,
-                   known_size: bool = False, compressor=None) -> bytes:
+                   known_size: bool = False, compressor=None,
+                   dictionary: bytes | None = None,
+                   dict_id: int | None = None) -> bytes:
     """One-shot: wrap ``data`` in a complete LZ4 frame.
 
     Routed through the native one-call frame codec (threaded block compress
     + header assembly in C++, byte-identical output) when the native tier
     is available and no custom compressor was supplied.
+
+    ``dictionary`` writes a dictionary frame (see Lz4FrameOutputStream):
+    each block's match window is seeded with the dictionary tail and
+    ``dict_id`` is recorded as the DictID header field when given.
     """
+    if dictionary is not None:
+        out = io.BytesIO()
+        stream = Lz4FrameOutputStream(
+            out, block_size=block_size,
+            known_size=len(data) if known_size else -1,
+            features=features, compressor=compressor,
+            dictionary=dictionary, dict_id=dict_id)
+        stream.write(data)
+        stream.close_keep_underlying()
+        return out.getvalue()
     if compressor is None:
         try:
             from ..api import native_instances as ni

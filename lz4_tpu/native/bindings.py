@@ -43,6 +43,10 @@ def load():
         lib.tpulz4_compress_turbo.restype = ctypes.c_int
         lib.tpulz4_compress_turbo.argtypes = [_c_u8p, ctypes.c_int, _c_u8p,
                                               ctypes.c_int]
+        # dictionary-prefix compressor (hist bytes valid before src)
+        lib.tpulz4_compress_fast_ext.restype = ctypes.c_int
+        lib.tpulz4_compress_fast_ext.argtypes = [
+            _c_u8p, ctypes.c_int, ctypes.c_int, _c_u8p, ctypes.c_int]
         lib.tpulz4_compress_turbo_probe.restype = ctypes.c_int
         lib.tpulz4_compress_turbo_probe.argtypes = [_c_u8p, ctypes.c_int,
                                                     _c_u8p, ctypes.c_int,

@@ -413,6 +413,135 @@ TPULZ4_API int tpulz4_compress_fast(const uint8_t* src, int src_len,
   return compress_general(src, src_len, dest, max_dest_len);
 }
 
+// Dictionary ("prefix") fast-scan compressor: `hist_len` dictionary bytes
+// lie contiguously BEFORE `src`; matches may reference them at distances
+// up to MAX_DISTANCE. The hash table holds offsets relative to
+// wbase = src - hist_len and is pre-seeded with dictionary positions at
+// stride 3 (the policy lz4.c's LZ4_loadDict uses — there is no reference
+// byte stream to match here: the reference has no dictionary support at
+// all, so this is an extension constrained only by format validity).
+// Output decodes with the history-extended decoder
+// (tpulz4_decompress_safe_ext) and with upstream LZ4 usingDict.
+static int compress_ext(const uint8_t* src, int src_len, int hist_len,
+                        uint8_t* dest, int dest_cap) {
+  const uint8_t* const wbase = src - hist_len;
+  const uint8_t* const send = src + src_len;
+  const uint8_t* const slimit = send - LAST_LITERALS;
+  const uint8_t* const mflimit = send - MF_LIMIT;
+  const uint8_t* anchor = src;
+  const uint8_t* ip = src;
+  uint8_t* op = dest;
+  uint8_t* const oend = dest + dest_cap;
+
+  std::vector<int32_t> table(1 << HASH_LOG, 0);
+  for (int p = 0; p + 4 <= hist_len; p += 3)
+    table[hash_general(read32(wbase + p))] = p;
+
+  if (src_len >= MIN_LENGTH) {
+    for (;;) {
+      const uint8_t* fwd = ip;
+      int step = 1;
+      int search_match_nb = 1 << SKIP_STRENGTH;
+      const uint8_t* ref;
+      int back;
+      uint32_t h = hash_general(read32(fwd));
+      do {
+        ip = fwd;
+        fwd += step;
+        step = search_match_nb++ >> SKIP_STRENGTH;
+        if (fwd > mflimit) goto last;
+        uint32_t next_h = hash_general(read32(fwd));
+        ref = wbase + table[h];
+        back = (int)(ip - ref);
+        table[h] = (int32_t)(ip - wbase);
+        h = next_h;
+        // back == 0 only for the table-init pseudo-entry at wbase[0] when
+        // ip has not been inserted yet; a 0-distance match is invalid
+      } while (back >= MAX_DISTANCE || back == 0 || read32(ref) != read32(ip));
+
+      {
+        while (ip > anchor && ref > wbase && ip[-1] == ref[-1]) { --ip; --ref; }
+
+        int run_len = (int)(ip - anchor);
+        uint8_t* token = op++;
+        if (op + run_len + (2 + 1 + LAST_LITERALS)
+                + len_ext_bytes(run_len, RUN_MASK) > oend)
+          return TPULZ4_E_DEST_TOO_SMALL;
+        if (run_len >= RUN_MASK) {
+          *token = RUN_MASK << ML_BITS;
+          op = write_len_p(run_len - RUN_MASK, op);
+        } else {
+          *token = (uint8_t)(run_len << ML_BITS);
+        }
+        if (op + run_len + 16 <= oend) {
+          wild_copy8(op, anchor, run_len > 0 ? run_len : 1);
+        } else {
+          std::memcpy(op, anchor, run_len);
+        }
+        op += run_len;
+
+        for (;;) {
+          op[0] = (uint8_t)back;
+          op[1] = (uint8_t)(back >> 8);
+          op += 2;
+
+          ip += MIN_MATCH;
+          int match_len = common_bytes_p(ref + MIN_MATCH, ip, slimit);
+          if (op + (1 + LAST_LITERALS)
+                  + len_ext_bytes(match_len, ML_MASK) > oend)
+            return TPULZ4_E_DEST_TOO_SMALL;
+          ip += match_len;
+
+          if (match_len >= ML_MASK) {
+            *token |= ML_MASK;
+            op = write_len_p(match_len - ML_MASK, op);
+          } else {
+            *token |= (uint8_t)match_len;
+          }
+
+          if (ip > mflimit) { anchor = ip; goto last; }
+
+          table[hash_general(read32(ip - 2))] = (int32_t)(ip - 2 - wbase);
+          uint32_t h = hash_general(read32(ip));
+          ref = wbase + table[h];
+          table[h] = (int32_t)(ip - wbase);
+          back = (int)(ip - ref);
+          if (back >= MAX_DISTANCE || back == 0 || read32(ref) != read32(ip))
+            break;
+
+          token = op++;
+          *token = 0;
+        }
+        anchor = ip++;
+      }
+    }
+  }
+last:
+  {
+    int run_len = (int)(send - anchor);
+    if (op + run_len + 1 + (run_len + 255 - RUN_MASK) / 255 > oend)
+      return TPULZ4_E_DEST_TOO_SMALL;
+    if (run_len >= RUN_MASK) {
+      *op++ = RUN_MASK << ML_BITS;
+      op = write_len_p(run_len - RUN_MASK, op);
+    } else {
+      *op++ = (uint8_t)(run_len << ML_BITS);
+    }
+    std::memcpy(op, anchor, run_len);
+    op += run_len;
+  }
+  return (int)(op - dest);
+}
+
+TPULZ4_API int tpulz4_compress_fast_ext(const uint8_t* src, int src_len,
+                                        int hist_len, uint8_t* dest,
+                                        int max_dest_len) {
+  if (src_len < 0 || max_dest_len < 0 || hist_len < 0) return TPULZ4_E_PARAM;
+  if (hist_len == 0)
+    return tpulz4_compress_fast(src, src_len, dest, max_dest_len);
+  return compress_ext(src, src_len, hist_len, dest, max_dest_len);
+}
+
 // ---------------------------------------------------------------------------
 // turbo fast-scan (opt-in): modern match heuristic on the >64KB general
 // path. Output is valid LZ4 block format but NOT byte-identical to the

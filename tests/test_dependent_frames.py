@@ -341,9 +341,127 @@ def test_dictionary_cli(rng, tmp_path):
 
 
 def test_dictionary_writer_refuses_dict_id():
+    """DICT_ID as a bare feature flag (no dictionary) stays refused —
+    the parity writer never emits it on its own."""
     with pytest.raises(Lz4FrameError):
         frame_mod.Lz4FrameOutputStream(
             io.BytesIO(), features=(frame_mod.FrameFlag.DICT_ID,))
+    with pytest.raises(Lz4FrameError):
+        frame_mod.Lz4FrameOutputStream(io.BytesIO(), dict_id=7)
+
+
+def _upstream_decompress_with_dict(comp: bytes, dictionary: bytes,
+                                   expect_len: int) -> bytes:
+    """Decode a frame with upstream LZ4F_decompress_usingDict."""
+    _LIB.LZ4F_decompress_usingDict.restype = ctypes.c_size_t
+    # full argtypes matter: dictSize is the 7th arg (stack-passed on
+    # x86-64) and must be a size_t, not a 4-byte int with garbage above
+    _LIB.LZ4F_decompress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_void_p]
+    ctx = ctypes.c_void_p()
+    err = _LIB.LZ4F_createDecompressionContext(ctypes.byref(ctx), 100)
+    assert not _LIB.LZ4F_isError(err)
+    try:
+        out = bytearray()
+        dst_cap = max(expect_len + 64, 1 << 16)
+        dst = ctypes.create_string_buffer(dst_cap)
+        src_pos = 0
+        while src_pos < len(comp):
+            dst_size = ctypes.c_size_t(dst_cap)
+            src_size = ctypes.c_size_t(len(comp) - src_pos)
+            r = _LIB.LZ4F_decompress_usingDict(
+                ctx, dst, ctypes.byref(dst_size), comp[src_pos:],
+                ctypes.byref(src_size), dictionary, len(dictionary), None)
+            assert not _LIB.LZ4F_isError(r), f"LZ4F error {r}"
+            out += dst.raw[:dst_size.value]
+            src_pos += src_size.value
+            if r == 0 and src_pos >= len(comp):
+                break
+        return bytes(out)
+    finally:
+        _LIB.LZ4F_freeDecompressionContext(ctx)
+
+
+def test_dictionary_write_side_upstream_interop(rng):
+    """The write side: our dictionary frames decode with upstream
+    LZ4F_decompress_usingDict (the strongest possible contract for an
+    extension with no reference bytes to match) and with our own reader."""
+    # window-aware construction: every dict reference stays within the
+    # 64KB match distance (dict_len + data_pos - dict_pos <= 65535)
+    dictionary = random_bytes(rng, 30_000, 256)
+    data = dictionary + random_bytes(rng, 4_000, 256) + dictionary[:20_000]
+    fr = frame_mod.compress_frame(data, block_size=frame_mod.BlockSize.SIZE_64KB,
+                                  dictionary=dictionary, dict_id=99)
+    assert fr[4] & 0x01  # DictID field present
+    assert _upstream_decompress_with_dict(fr, dictionary, len(data)) == data
+    assert frame_mod.decompress_frame(fr, dictionary=dictionary) == data
+    st = frame_mod.Lz4FrameInputStream(io.BytesIO(fr), dictionary=dictionary)
+    assert st.read() == data and st.dict_id == 99
+    # dict-window matches must actually fire: overlapping random data is
+    # incompressible without the dictionary
+    plain = frame_mod.compress_frame(data,
+                                     block_size=frame_mod.BlockSize.SIZE_64KB)
+    assert len(fr) < len(plain) // 3
+
+
+def test_dictionary_write_no_dict_id_field(rng):
+    """dictionary= without dict_id writes dict-matched blocks but no
+    DictID header field (LZ4F semantics); a reader without the dictionary
+    must fail — structurally or via checksum — not emit wrong bytes."""
+    dictionary = random_bytes(rng, 40_000, 256)
+    data = dictionary[:35_000]
+    fr = frame_mod.compress_frame(
+        data, block_size=frame_mod.BlockSize.SIZE_64KB,
+        features=(frame_mod.FrameFlag.BLOCK_INDEPENDENCE,
+                  frame_mod.FrameFlag.CONTENT_CHECKSUM),
+        dictionary=dictionary)
+    assert not (fr[4] & 0x01)
+    assert frame_mod.decompress_frame(fr, dictionary=dictionary) == data
+    assert _upstream_decompress_with_dict(fr, dictionary, len(data)) == data
+    with pytest.raises((Lz4Error, Lz4FrameError)):
+        frame_mod.decompress_frame(fr)
+
+
+def test_dictionary_write_block_checksums(rng):
+    dictionary = random_bytes(rng, 30_000, 256)
+    data = dictionary[:20_000] + dictionary[5_000:25_000]
+    fr = frame_mod.compress_frame(
+        data, block_size=frame_mod.BlockSize.SIZE_64KB,
+        features=(frame_mod.FrameFlag.BLOCK_INDEPENDENCE,
+                  frame_mod.FrameFlag.CONTENT_CHECKSUM,
+                  frame_mod.FrameFlag.BLOCK_CHECKSUM),
+        dictionary=dictionary, dict_id=1)
+    assert frame_mod.decompress_frame(fr, dictionary=dictionary) == data
+
+
+def test_dictionary_cli_roundtrip(rng, tmp_path):
+    """CLI compress -D + decompress -D roundtrip."""
+    import subprocess
+    import sys
+
+    dictionary = random_bytes(rng, 30_000, 256)
+    data = dictionary[:25_000] + dictionary[5_000:25_000]
+    raw = tmp_path / "in.bin"
+    dfile = tmp_path / "dict.bin"
+    comp = tmp_path / "out.lz4"
+    back = tmp_path / "back.bin"
+    raw.write_bytes(data)
+    dfile.write_bytes(dictionary)
+    r = subprocess.run(
+        [sys.executable, "-m", "lz4_tpu", "compress", "-D", str(dfile),
+         "--dict-id", "11", str(raw), str(comp)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert len(comp.read_bytes()) < len(data) // 3  # dict matches fired
+    r = subprocess.run(
+        [sys.executable, "-m", "lz4_tpu", "decompress", "-D", str(dfile),
+         str(comp), str(back)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert back.read_bytes() == data
 
 
 def test_writer_keeps_reference_parity():

@@ -172,6 +172,40 @@ for blob, fns in ((_lit, (lib.tpulz4_compress_fast,
         for cap in range(max(1, need - 48), need + 8):
             compress_tight(blob, cap, fn)
 
+# dictionary-prefix compressor (round 5): tight-cap sweeps with the dict
+# contiguously before src in one exactly-sized malloc'd buffer, so both
+# the hist-window reads and the dest emission boundaries are ASan-checked
+lib.tpulz4_compress_fast_ext.restype = ctypes.c_int
+def compress_ext_tight(data: bytes, hist: bytes, cap: int):
+    whole = hist + data
+    p = libc.malloc(max(cap, 1))
+    s = libc.malloc(max(len(whole), 1))
+    try:
+        ctypes.memmove(s, whole, len(whole))
+        lib.tpulz4_compress_fast_ext(
+            ctypes.cast(s + len(hist), u8p), len(data),
+            len(hist), ctypes.cast(p, u8p), cap)
+    finally:
+        libc.free(p)
+        libc.free(s)
+
+for hist_n, data_mk in ((3000, lambda r: r.randbytes(2000)),
+                        (65536, lambda r: r.randbytes(70000)),
+                        (500, lambda r: bytes(1500)),
+                        (40000, None)):
+    r5 = random.Random(hist_n)
+    hist5 = r5.randbytes(hist_n)
+    blob5 = (hist5[:1200] + r5.randbytes(300) + hist5[:2000]
+             if data_mk is None else data_mk(r5))
+    w5 = buf(hist5 + blob5)
+    dst5 = (ctypes.c_uint8 * 700000)()
+    need = lib.tpulz4_compress_fast_ext(
+        ctypes.cast(ctypes.byref(w5, hist_n), u8p), len(blob5), hist_n,
+        dst5, 700000)
+    assert need > 0, need
+    for cap in range(max(1, need - 48), need + 8):
+        compress_ext_tight(blob5, hist5, cap)
+
 # turbo wild_copy16 source-side boundary (round-4 review): a final match
 # landing within 14 bytes of send with run_len % 16 == 1 makes the literal
 # copy's 16-byte strides read past the source end. Alphabet-4 random data
