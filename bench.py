@@ -474,16 +474,15 @@ def _hc_ratio_vs_upstream(data: bytes, level: int = 9):
         n = lib.LZ4_compress_HC(sample, buf, len(sample), bound, level)
         out["hc9_bytes_vs_liblz4_hc9"] = round(
             len(hc.compress_alloc(sample)) / n, 4)
-        # paired interleaved A/B speed comparison, single core both sides
-        t_lib = t_ours = 0.0
-        for _ in range(3):
-            t0 = time.time()
-            lib.LZ4_compress_HC(sample, buf, len(sample), bound, level)
-            t_lib += time.time() - t0
-            t0 = time.time()
-            hc.compress_alloc(sample)
-            t_ours += time.time() - t0
-        out["hc9_speed_vs_liblz4_hc9"] = round(t_lib / t_ours, 3)
+        # paired alternating-order A/B, single core both sides (same
+        # protocol as decode/compress_speed_vs_liblz4_1core)
+        import statistics as _st
+        ratios = _alternating_ab(
+            lambda: hc.compress_alloc(sample),
+            lambda: lib.LZ4_compress_HC(sample, buf, len(sample), bound,
+                                        level),
+            reps=6)
+        out["hc9_speed_vs_liblz4_hc9"] = round(_st.median(ratios), 3)
     except OSError:
         pass
     return out
