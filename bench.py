@@ -943,7 +943,9 @@ def main():
             "block_bytes": BLOCK,
             "compress_gbps": round(native["compress_gbps"], 3),
             "compression_ratio": round(native["ratio"], 4),
-            **({k: native[k] for k in ("tier", "native_error")
+            **({k: native[k] for k in
+                ("tier", "native_error", "decode_speed_vs_liblz4_1core",
+                 "compress_speed_vs_liblz4_1core")
                 if k in native}),
             **fast_ratio,
             **turbo,

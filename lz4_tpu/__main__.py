@@ -35,6 +35,8 @@ def cmd_compress(args):
         if level > 0:
             raise SystemExit("--turbo and --level are mutually exclusive")
         level = -1
+    if args.dict_id is not None and not getattr(args, "dict", None):
+        raise SystemExit("--dict-id requires -D/--dict")
     t0 = time.time()
     if getattr(args, "dict", None):
         # dictionary frames route through the frame writer (per-block

@@ -585,6 +585,11 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
             _raise_frame_error(int(n), "frame_decompress")
         return memoryview(dest)[:int(n)], int(consumed.value)
     cap = dest_cap or max(4 * len(data), 1 << 20)
+    # hard ceiling for the grow-retry: LZ4 expands at most ~255x, so a
+    # frame that still reports DEST_TOO_SMALL past that bound is
+    # malformed, not under-capacitated (r5 review #1: without the bound,
+    # crafted input could drive this loop to OOM)
+    cap_limit = 256 * max(len(data), 1) + (4 << 20)
     while True:
         dest = bytearray(cap)
         s_addr, s_keep = _base_addr(data)
@@ -595,7 +600,9 @@ def decompress_frame_packed(data, dest_cap: int | None = None,
             ctypes.byref(consumed))
         del s_keep, d_keep
         if n == bindings.E_DEST_TOO_SMALL and dest_cap is None:
-            cap *= 4
+            if cap >= cap_limit:
+                _raise_frame_error(bindings.E_MALFORMED, "frame_decompress")
+            cap = min(cap * 4, cap_limit)
             continue
         if n < 0:
             _raise_frame_error(int(n), "frame_decompress")
@@ -702,6 +709,9 @@ def decompress_block_stream_packed(data, dest_cap: int | None = None,
             _raise_frame_error(int(n), "blockstream_decompress")
         return memoryview(dest)[:int(n)], int(consumed.value)
     cap = dest_cap or max(4 * len(data), 1 << 20)
+    # same grow-retry ceiling as decompress_frame_packed (LZ4 expands at
+    # most ~255x; a stream claiming more is malformed)
+    cap_limit = 256 * max(len(data), 1) + (4 << 20)
     while True:
         dest = bytearray(cap)
         s_addr, s_keep = _base_addr(data)
@@ -711,7 +721,10 @@ def decompress_block_stream_packed(data, dest_cap: int | None = None,
             1 if stop_on_empty_block else 0, ctypes.byref(consumed))
         del s_keep, d_keep
         if n == bindings.E_DEST_TOO_SMALL and dest_cap is None:
-            cap *= 4
+            if cap >= cap_limit:
+                _raise_frame_error(bindings.E_MALFORMED,
+                                   "blockstream_decompress")
+            cap = min(cap * 4, cap_limit)
             continue
         if n < 0:
             _raise_frame_error(int(n), "blockstream_decompress")

@@ -125,6 +125,11 @@ def measure(total_blocks: int = 32, block_len: int = 4096,
     """
     import statistics
 
+    # keep shares exactly even: at widths that do not divide total_blocks
+    # the DCN run's max-over-workers would carry one extra block while the
+    # os/ref runs use the floor share, biasing efficiency low by ~1/share
+    # (r5 review #4)
+    total_blocks -= total_blocks % nproc
     share = total_blocks // nproc
     effs, ceils, vs_ceils, multis, oss, refs = [], [], [], [], [], []
     for t in range(trials):

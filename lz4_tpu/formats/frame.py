@@ -142,10 +142,23 @@ class Lz4FrameOutputStream(io.RawIOBase):
                 "emits a dictID)")
         if dict_id is not None and dictionary is None:
             raise Lz4FrameError("dict_id requires a dictionary")
+        if dictionary is not None and compressor is not None:
+            # a custom compressor cannot search the dictionary window; a
+            # silent fast-scan substitution would betray the caller's
+            # choice (r5 review #3)
+            raise Lz4FrameError(
+                "dictionary frames use the built-in dictionary compressor; "
+                "a custom compressor is not supported with dictionary=")
         self._dict_tail = bytes(dictionary)[-65536:] if dictionary else None
         self._dict_id = dict_id
         flags = frozenset(features) | {FrameFlag.BLOCK_INDEPENDENCE}
-        if dict_id is not None:
+        if dict_id is not None or (dictionary is not None
+                                   and FrameFlag.DICT_ID in frozenset(features)):
+            if dict_id is None:
+                # DICT_ID explicitly requested without an id value: honor
+                # the flag rather than silently stripping it (r5 review
+                # #5); 0 is a valid wire value meaning "unspecified id"
+                self._dict_id = dict_id = 0
             flags = flags | {FrameFlag.DICT_ID}
         else:
             flags = flags - {FrameFlag.DICT_ID}

@@ -1907,12 +1907,18 @@ static int64_t decode_dependent(const uint8_t* src,
     int out_len;
     if (b.compressed) {
       int r = tpulz4_decompress_safe_ext(p, b.len, dest + w, out_max, hist);
-      if (r < 0)
-        // a block that failed inside a clamped slot may just need room (a
-        // match crossing the clamped end reads as malformed): report
-        // DEST_TOO_SMALL so the caller's grow-retry resolves it truthfully
-        return (out_max < bs && r == TPULZ4_E_MALFORMED)
+      if (r < 0) {
+        // full-bs slot: any overflow means the block decodes past the
+        // frame's max block size — a spec violation, NOT a dest-size
+        // problem (reporting DEST_TOO_SMALL here made the caller's
+        // grow-retry loop unbounded on malicious input — r5 review #1)
+        if (out_max >= bs)
+          return r == TPULZ4_E_DEST_TOO_SMALL ? TPULZ4_E_MALFORMED : r;
+        // clamped slot: failures (including a match crossing the clamped
+        // end reading as malformed) may just need room
+        return (r == TPULZ4_E_MALFORMED || r == TPULZ4_E_DEST_TOO_SMALL)
                    ? TPULZ4_E_DEST_TOO_SMALL : r;
+      }
       out_len = r;
     } else {
       if (b.len > out_max) return TPULZ4_E_DEST_TOO_SMALL;
@@ -2294,6 +2300,11 @@ TPULZ4_API int64_t tpulz4_frame_decompress(
         if (blocks[i].compressed) {
           int r = tpulz4_decompress_safe(p, blocks[i].len, scratch.data(),
                                          (int)bs);
+          // scratch is a full-bs slot: DEST_TOO_SMALL here means the
+          // block decodes past the frame's max block size — malformed
+          // input, not a capacity problem (r5 review #1: reporting it as
+          // DEST_TOO_SMALL made the caller's grow-retry unbounded)
+          if (r == TPULZ4_E_DEST_TOO_SMALL) return TPULZ4_E_MALFORMED;
           if (r < 0) return r;
           out_len = r;
         } else {

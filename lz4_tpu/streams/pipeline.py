@@ -295,6 +295,31 @@ def compress_stream(src, dst, block_size: BlockSize = BlockSize.SIZE_64KB,
     return written
 
 
+class _PrependStream(io.RawIOBase):
+    """Replay ``head`` bytes, then delegate reads to ``tail`` (used to
+    hand an already-parsed frame header back to the frame reader)."""
+
+    def __init__(self, head: bytes, tail):
+        self._head = memoryview(head)
+        self._pos = 0
+        self._tail = tail
+
+    def readable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1):
+        if self._pos < len(self._head):
+            if n is None or n < 0:
+                out = bytes(self._head[self._pos:]) + (self._tail.read() or b"")
+                self._pos = len(self._head)
+                return out
+            take = min(n, len(self._head) - self._pos)
+            out = bytes(self._head[self._pos:self._pos + take])
+            self._pos += take
+            return out
+        return self._tail.read(n)
+
+
 def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
                       batch_blocks: int = 256,
                       allow_dependent: bool = False) -> int:
@@ -358,38 +383,21 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
         total = 0
 
         if dependent:
-            # linked-block frame body: serial history-carried decode (no
-            # batch parallelism exists — block i references block i-1)
-            from ..formats.frame import _decode_dependent_block
-            history = b""
+            # linked-block frame body: no batch parallelism exists (block
+            # i references block i-1), so delegate the whole frame —
+            # header bytes replayed in front of the source — to the serial
+            # frame reader instead of duplicating its block loop here
+            from ..formats.frame import Lz4FrameInputStream
+            header = word + bytes(desc) + bytes([hc])
+            reader = Lz4FrameInputStream(
+                _PrependStream(header, src), read_single_frame=True,
+                allow_dependent_blocks=True)
             while True:
-                size_word = _U32.unpack(read_exact(4))[0]
-                compressed = (size_word & INCOMPRESSIBLE_MASK) == 0
-                block_size = size_word & ~INCOMPRESSIBLE_MASK
-                if block_size == 0:
-                    if content_hash is not None:
-                        expect = _U32.unpack(read_exact(4))[0]
-                        if expect != (content_hash.get_value() & 0xFFFFFFFF):
-                            raise Lz4FrameError("Content checksum mismatch")
-                    if 0 <= expected_size != total:
-                        raise Lz4FrameError("Size check mismatch")
+                chunk = reader.read(1 << 20)
+                if not chunk:
                     break
-                if block_size > bs:
-                    raise Lz4FrameError(
-                        f"Block size {block_size} exceeded max: {bs}")
-                payload = read_exact(block_size)
-                if FrameFlag.BLOCK_CHECKSUM in flags:
-                    expect = _U32.unpack(read_exact(4))[0]
-                    if expect != _hash32(payload):
-                        raise Lz4FrameError("Block checksum mismatch")
-                raw = (_decode_dependent_block(payload, bs, history)
-                       if compressed else payload)
-                history = (history + bytes(raw))[-65536:]
-                if content_hash is not None:
-                    content_hash.update(raw)
-                dst.write(raw)
-                written += len(raw)
-                total += len(raw)
+                dst.write(chunk)
+                written += len(chunk)
             continue
 
         pending: list[tuple[bool, bytes]] = []

@@ -31,6 +31,15 @@ class BuildPyWithNative(build_py):
         super().run()
         if os.environ.get("TPULZ4_NO_NATIVE") == "1":
             return
+        if os.environ.get("TPULZ4_ALLOW_MISSING_NATIVE") == "1":
+            # the degraded-artifact opt-in skips the build entirely: the
+            # wheel is tagged py3-any (has_ext_modules below), so it must
+            # not carry a platform .so even when a toolchain works here
+            # (r5 review #2)
+            print("TPULZ4_ALLOW_MISSING_NATIVE=1: skipping the native "
+                  "build; the runtime compiles on first use or falls "
+                  "back to pure tiers")
+            return
         digest = hashlib.sha256(SRC.read_bytes()).hexdigest()[:16]
         dest_dir = (pathlib.Path(self.build_lib) / "lz4_tpu" / "native"
                     / "_prebuilt")
@@ -51,10 +60,6 @@ class BuildPyWithNative(build_py):
             # its .so would be tagged platform-specific yet ship without
             # the native tier (advisor r4 #3). A compiler-less user can
             # still opt into a degraded artifact explicitly.
-            if os.environ.get("TPULZ4_ALLOW_MISSING_NATIVE") == "1":
-                print(f"prebuilt native build skipped ({e}); the runtime "
-                      "will build on first use or fall back to pure tiers")
-                return
             raise RuntimeError(
                 f"native library build failed ({e}). Install a C++ "
                 "toolchain, or set TPULZ4_ALLOW_MISSING_NATIVE=1 to build "

@@ -207,6 +207,47 @@ def test_pure_python_dependent_tier_matches_native(rng):
         assert out_n == data
 
 
+def _oversized_block_frame(dependent: bool) -> bytes:
+    """A spec-violating frame (64KB max block size) whose single block
+    DECODES to 65542 bytes: 1 literal + a 65536-byte match + 5 trailing
+    literals. Structurally valid until the decode overflows the block
+    limit (r5 review #1 repro shape)."""
+    import struct
+
+    from lz4_tpu.core.xxhash_ref import xxh32
+
+    ml = 65536 - 4 - 15
+    block = (bytes([0x1F, ord("A"), 0x01, 0x00])
+             + b"\xff" * (ml // 255) + bytes([ml % 255])
+             + bytes([0x50]) + b"BBBBB")
+    flg = 0x40 | (0 if dependent else 0x20)
+    desc = bytes([flg, 0x40])
+    hc = (xxh32(desc, 0, len(desc), 0) >> 8) & 0xFF
+    return (struct.pack("<I", 0x184D2204) + desc + bytes([hc])
+            + struct.pack("<I", len(block)) + block
+            + struct.pack("<I", 0))
+
+
+@pytest.mark.parametrize("dependent", [False, True])
+def test_oversized_block_decode_rejected_fast(dependent):
+    """A block decoding past the frame's max block size must raise, not
+    drive the one-shot decoder's grow-retry loop to OOM (r5 review #1:
+    the serial fallback and the new dependent path both reported the
+    overflow as DEST_TOO_SMALL, which the auto-grow treated as 'needs a
+    bigger buffer' forever)."""
+    import time
+
+    fr = _oversized_block_frame(dependent)
+    t0 = time.perf_counter()
+    with pytest.raises((Lz4Error, Lz4FrameError)):
+        frame_mod.decompress_frame(fr, allow_dependent_blocks=dependent)
+    assert time.perf_counter() - t0 < 10, "grow loop did not terminate fast"
+    # the streaming reader path must reject it too
+    with pytest.raises((Lz4Error, Lz4FrameError)):
+        frame_mod.Lz4FrameInputStream(
+            io.BytesIO(fr), allow_dependent_blocks=dependent).read()
+
+
 def test_pipeline_and_cli_dependent_paths(rng, tmp_path):
     """The batch streaming pipeline and the CLI expose the opt-in too."""
     import subprocess
@@ -348,6 +389,52 @@ def test_dictionary_writer_refuses_dict_id():
             io.BytesIO(), features=(frame_mod.FrameFlag.DICT_ID,))
     with pytest.raises(Lz4FrameError):
         frame_mod.Lz4FrameOutputStream(io.BytesIO(), dict_id=7)
+
+
+def test_dictionary_writer_refuses_custom_compressor(rng):
+    """A caller-supplied compressor cannot search the dictionary window;
+    the writer must refuse rather than silently substitute fast-scan
+    (r5 review #3)."""
+    from lz4_tpu.api.factory import Lz4Factory
+
+    with pytest.raises(Lz4FrameError, match="custom compressor"):
+        frame_mod.Lz4FrameOutputStream(
+            io.BytesIO(), dictionary=b"x" * 100,
+            compressor=Lz4Factory.safe_instance().high_compressor(9))
+
+
+def test_dictionary_dict_id_feature_without_value(rng):
+    """DICT_ID in features with a dictionary but no dict_id must be
+    honored (field written, value 0), not silently stripped
+    (r5 review #5)."""
+    dictionary = random_bytes(rng, 20_000, 64)
+    data = dictionary[:15_000]
+    out = io.BytesIO()
+    st = frame_mod.Lz4FrameOutputStream(
+        out, features=(frame_mod.FrameFlag.BLOCK_INDEPENDENCE,
+                       frame_mod.FrameFlag.DICT_ID),
+        dictionary=dictionary)
+    st.write(data)
+    st.close_keep_underlying()
+    fr = out.getvalue()
+    assert fr[4] & 0x01
+    rd = frame_mod.Lz4FrameInputStream(io.BytesIO(fr),
+                                       dictionary=dictionary)
+    assert rd.read() == data and rd.dict_id == 0
+
+
+def test_cli_dict_id_without_dict_rejected(tmp_path):
+    import subprocess
+    import sys
+
+    raw = tmp_path / "in.bin"
+    raw.write_bytes(b"hello" * 100)
+    r = subprocess.run(
+        [sys.executable, "-m", "lz4_tpu", "compress", "--dict-id", "5",
+         str(raw), str(tmp_path / "out.lz4")],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode != 0
+    assert "--dict-id requires -D" in (r.stderr + r.stdout)
 
 
 def _upstream_decompress_with_dict(comp: bytes, dictionary: bytes,

@@ -774,6 +774,19 @@ def test_wheel_build_fails_loud_without_compiler(tmp_path):
     with zipfile.ZipFile(wheel) as zf:
         assert not [n for n in zf.namelist() if n.endswith(".so")]
 
+    # with a WORKING toolchain the opt-out must still skip the build: an
+    # any-tagged wheel must never carry a platform .so (r5 review #2)
+    env.pop("TPULZ4_CXX", None)
+    ok = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", str(root), "--no-deps",
+         "--no-build-isolation", "-w", str(tmp_path / "degraded2")],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert ok.returncode == 0, ok.stderr
+    wheel = next((tmp_path / "degraded2").glob("tpu_lz4-*.whl"))
+    assert "any" in wheel.name, wheel.name
+    with zipfile.ZipFile(wheel) as zf:
+        assert not [n for n in zf.namelist() if n.endswith(".so")]
+
 
 @pytest.mark.slow
 def test_prebuilt_wheel_ships_native_library(tmp_path):
