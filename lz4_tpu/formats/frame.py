@@ -352,7 +352,12 @@ class Lz4FrameInputStream(io.RawIOBase):
                 return True
             if (magic >> 4) == (MAGIC_SKIPPABLE_BASE >> 4):
                 skip_size = _U32.unpack(self._read_exact(4))[0]
-                self._read_exact(skip_size)
+                # discard in chunks: skip_size is attacker-controlled up
+                # to 4GB-1 and must not be buffered whole
+                remaining = skip_size
+                while remaining:
+                    chunk = self._read_exact(min(remaining, 1 << 20))
+                    remaining -= len(chunk)
                 self._first_header_read = True
                 continue
             raise Lz4FrameError("Stream unsupported (not an LZ4 frame)")

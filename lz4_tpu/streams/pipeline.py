@@ -357,7 +357,9 @@ def decompress_stream(src, dst, engine: BatchEngine | str = "fastest",
         magic = _U32.unpack(word)[0]
         if (magic >> 4) == (MAGIC_SKIPPABLE_BASE >> 4):
             skip = _U32.unpack(read_exact(4))[0]
-            read_exact(skip)
+            # discard in chunks (attacker-controlled size, don't buffer)
+            while skip:
+                skip -= len(read_exact(min(skip, 1 << 20)))
             first = False
             continue
         if magic != MAGIC:

@@ -207,6 +207,37 @@ def test_pure_python_dependent_tier_matches_native(rng):
         assert out_n == data
 
 
+def test_large_skippable_frames_not_buffered(rng):
+    """Skippable-frame payloads are discarded in chunks, never buffered
+    whole (the claimed size is attacker-controlled up to 4GB-1). A 96MB
+    skippable frame between two data frames must stream through both
+    readers without memory ballooning (peak tracked via tracemalloc)."""
+    import tracemalloc
+
+    from lz4_tpu.streams import decompress_stream
+
+    data = random_bytes(rng, 50_000, 16)
+    body = frame_mod.compress_frame(data)
+    skip = frame_mod.make_skippable_frame(b"")  # header only...
+    big_skip = (b"\x50\x2a\x4d\x18" + (96 << 20).to_bytes(4, "little")
+                + bytes(96 << 20))
+    stream_bytes = body + big_skip + body
+    del skip
+    tracemalloc.start()
+    got = frame_mod.Lz4FrameInputStream(io.BytesIO(stream_bytes)).read()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert got == data + data
+    assert peak < 32 << 20, f"reader buffered the skippable frame: {peak}"
+    tracemalloc.start()
+    out = io.BytesIO()
+    n = decompress_stream(io.BytesIO(stream_bytes), out)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 2 * len(data) and out.getvalue() == data + data
+    assert peak < 32 << 20, f"pipeline buffered the skippable frame: {peak}"
+
+
 def _oversized_block_frame(dependent: bool) -> bytes:
     """A spec-violating frame (64KB max block size) whose single block
     DECODES to 65542 bytes: 1 literal + a 65536-byte match + 5 trailing
