@@ -191,6 +191,12 @@ class Lz4BlockInputStream(io.RawIOBase):
                 or (original_len == 0) != (compressed_len == 0)
                 or (method == COMPRESSION_METHOD_RAW and original_len != compressed_len)):
             raise Lz4FrameError("Stream is corrupted")
+        # compressed_len is attacker-controlled up to 4GB-1; a payload can
+        # never exceed the compressed bound of its block size, so reject
+        # before _try_read_fully buffers it (r5 hardening)
+        from ..core.constants import max_compressed_length
+        if compressed_len > max_compressed_length(1 << level):
+            raise Lz4FrameError("Stream is corrupted")
         if original_len == 0:
             if check != 0:
                 raise Lz4FrameError("Stream is corrupted")

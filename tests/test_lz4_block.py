@@ -312,3 +312,25 @@ class TestBlockStreamOneShots:
             decompress_block_stream(bytes(bad))
         with pytest.raises(Lz4FrameError):
             decompress_block_stream(bytes(st[:30]))  # truncated
+
+    def test_overlong_compressed_len_rejected_early(self):
+        """A header claiming a compressed_len beyond the bound of its
+        block size must be rejected BEFORE any attempt to read/buffer the
+        (attacker-controlled, up to 4GB-1) payload — r5 hardening. Driven
+        through the streaming reader, which reads from a short-read mock
+        so an unbounded read attempt would raise the wrong error."""
+        import io
+        import struct
+
+        import pytest
+
+        from lz4_tpu.core.errors import Lz4FrameError
+        from lz4_tpu.formats import Lz4BlockInputStream
+
+        token = 0x20 | 4  # LZ4, block size 2^14
+        header = (b"LZ4Block" + bytes([token])
+                  + struct.pack("<I", 0xFFFFFFF0)   # absurd compressed_len
+                  + struct.pack("<I", 1 << 14)      # plausible original_len
+                  + struct.pack("<I", 0))
+        with pytest.raises(Lz4FrameError, match="corrupted"):
+            Lz4BlockInputStream(io.BytesIO(header + b"xx")).read()
