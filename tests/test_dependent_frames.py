@@ -582,6 +582,39 @@ def test_dictionary_cli_roundtrip(rng, tmp_path):
     assert back.read_bytes() == data
 
 
+def test_pure_tier_fallbacks_no_native(rng, tmp_path):
+    """With the native tier disabled, linked decode runs on the pure
+    history decoder and dictionary WRITE degrades to valid dict frames
+    without dict-referencing matches (documented graceful degradation)."""
+    import os
+    import subprocess
+    import sys
+
+    frfile = tmp_path / "linked.lz4"
+    frfile.write_bytes(_upstream_linked_frame(_linked_corpus(rng, 150_000)))
+    probe = (
+        "import io, pathlib, random\n"
+        "from lz4_tpu.formats import frame\n"
+        "rng = random.Random(5)\n"
+        "d = bytes(rng.randrange(64) for _ in range(20000))\n"
+        "data = d[:15000]\n"
+        "fr = frame.compress_frame(data,"
+        " block_size=frame.BlockSize.SIZE_64KB, dictionary=d, dict_id=7)\n"
+        "assert fr[4] & 0x01\n"
+        "assert frame.decompress_frame(fr, dictionary=d) == data\n"
+        "linked = pathlib.Path(%r).read_bytes()\n"
+        "out = frame.decompress_frame(linked, allow_dependent_blocks=True)\n"
+        "print('OK', len(out))\n" % str(frfile)
+    )
+    env = dict(os.environ, TPULZ4_NO_NATIVE="1",
+               PYTHONPATH="/root/repo")
+    r = subprocess.run([sys.executable, "-c", probe], env=env,
+                       capture_output=True, text=True, timeout=240,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "OK 150000" in r.stdout
+
+
 def test_writer_keeps_reference_parity():
     """Our writer never emits dependent frames: FLG bit 5 is always set
     (LZ4FrameOutputStream.java:58 sets BLOCK_INDEPENDENCE always)."""
